@@ -1,0 +1,204 @@
+"""Moving MNIST host-side loader.
+
+Capability parity (SURVEY.md section 2.1, ".npy loader"): the reference wraps the
+canonical ``mnist_test_seq.npy`` (uint8, time-major ``(20, N, 64, 64)``) in a
+torch ``Dataset`` that transposes to batch-major and slices batches.  Here the
+loader is a thin numpy layer that keeps everything **uint8 on the host** —
+normalization happens on-device (see ``transforms.py``) so host->HBM transfer
+volume stays 4x lower than a float pipeline.
+
+Because the canonical file may be absent (this box has no network), the module
+also ships a procedural Moving MNIST generator — bouncing digit sprites with
+the same dtype/shape/dynamics contract, supporting arbitrary sequence length
+(config 5 needs 100-frame clips, which the canonical file cannot provide).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+# 8x8 bitmap font for digits 0-9 (one uint8 bitmask row per scanline).  Used to
+# render recognizable digit sprites without the real MNIST archive.  Sprites are
+# upscaled to ~16x16 with smoothing, mimicking MNIST digit scale in the 64x64
+# canvas of the canonical dataset.
+_DIGIT_FONT = np.array(
+    [
+        [0x3C, 0x66, 0x6E, 0x76, 0x66, 0x66, 0x3C, 0x00],  # 0
+        [0x18, 0x38, 0x18, 0x18, 0x18, 0x18, 0x7E, 0x00],  # 1
+        [0x3C, 0x66, 0x06, 0x1C, 0x30, 0x66, 0x7E, 0x00],  # 2
+        [0x3C, 0x66, 0x06, 0x1C, 0x06, 0x66, 0x3C, 0x00],  # 3
+        [0x0C, 0x1C, 0x3C, 0x6C, 0x7E, 0x0C, 0x0C, 0x00],  # 4
+        [0x7E, 0x60, 0x7C, 0x06, 0x06, 0x66, 0x3C, 0x00],  # 5
+        [0x1C, 0x30, 0x60, 0x7C, 0x66, 0x66, 0x3C, 0x00],  # 6
+        [0x7E, 0x66, 0x06, 0x0C, 0x18, 0x18, 0x18, 0x00],  # 7
+        [0x3C, 0x66, 0x66, 0x3C, 0x66, 0x66, 0x3C, 0x00],  # 8
+        [0x3C, 0x66, 0x66, 0x3E, 0x06, 0x0C, 0x38, 0x00],  # 9
+    ],
+    dtype=np.uint8,
+)
+
+_CANONICAL_PATHS = (
+    "mnist_test_seq.npy",
+    "data/mnist_test_seq.npy",
+    os.path.expanduser("~/.cache/mmvae_tpu/mnist_test_seq.npy"),
+)
+
+
+def _digit_sprite(digit: int, size: int = 16) -> np.ndarray:
+    """Render digit as a (size, size) float sprite in [0, 1]."""
+    bits = np.unpackbits(_DIGIT_FONT[digit][:, None], axis=1)  # (8, 8) 0/1
+    img = bits.astype(np.float32)
+    # Nearest-neighbor upscale then 3x3 box blur for soft, MNIST-ish strokes.
+    k = size // 8
+    img = np.repeat(np.repeat(img, k, axis=0), k, axis=1)
+    p = np.pad(img, 1)
+    img = (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    ) / 9.0
+    return np.clip(img * 1.5, 0.0, 1.0)
+
+
+def generate_moving_mnist(
+    num_sequences: int,
+    seq_len: int = 20,
+    image_size: int = 64,
+    num_digits: int = 2,
+    seed: int = 0,
+) -> np.ndarray:
+    """Procedural Moving MNIST: bouncing digit sprites.
+
+    Reproduces the dynamics of Srivastava et al. (2015): each sequence contains
+    `num_digits` sprites moving with constant velocity, bouncing elastically
+    off frame edges, composited with saturation at 255.
+
+    Returns uint8 array of shape (num_sequences, seq_len, image_size, image_size)
+    — batch-major, matching what the reference's Dataset yields post-transpose.
+    """
+    rng = np.random.default_rng(seed)
+    sprite_size = 16
+    sprites = np.stack([_digit_sprite(d, sprite_size) for d in range(10)])
+    lim = image_size - sprite_size
+
+    out = np.zeros((num_sequences, seq_len, image_size, image_size), np.float32)
+    digits = rng.integers(0, 10, size=(num_sequences, num_digits))
+    pos = rng.uniform(0, lim, size=(num_sequences, num_digits, 2)).astype(np.float32)
+    theta = rng.uniform(0, 2 * np.pi, size=(num_sequences, num_digits))
+    speed = rng.uniform(2.0, 4.5, size=(num_sequences, num_digits))
+    vel = np.stack([np.cos(theta), np.sin(theta)], axis=-1) * speed[..., None]
+
+    for t in range(seq_len):
+        for d in range(num_digits):
+            ys = pos[:, d, 0].astype(np.int32)
+            xs = pos[:, d, 1].astype(np.int32)
+            for n in range(num_sequences):
+                y, x = ys[n], xs[n]
+                out[n, t, y : y + sprite_size, x : x + sprite_size] += sprites[
+                    digits[n, d]
+                ]
+        pos += vel
+        # Elastic bounce: reflect position and flip velocity where out of range.
+        for ax in range(2):
+            over = pos[..., ax] > lim
+            under = pos[..., ax] < 0
+            pos[..., ax] = np.where(over, 2 * lim - pos[..., ax], pos[..., ax])
+            pos[..., ax] = np.where(under, -pos[..., ax], pos[..., ax])
+            vel[..., ax] = np.where(over | under, -vel[..., ax], vel[..., ax])
+
+    return (np.clip(out, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class MovingMNIST:
+    """Batch-major uint8 Moving MNIST with epoch shuffling and host sharding.
+
+    Parity with the reference Dataset (SURVEY.md 2.1): loads the canonical
+    time-major ``(20, N, 64, 64)`` file and transposes to ``(N, 20, 64, 64)``;
+    train/val split; `__getitem__`/iteration semantics.  Additions for the TPU
+    pipeline: per-host sharding (`process_index`/`process_count`) so each host
+    in a multi-host job reads a disjoint slice, and batch iteration that yields
+    contiguous uint8 arrays ready for `device_put`.
+    """
+
+    data: np.ndarray  # (N, T, H, W) uint8
+    train: bool = True
+    train_fraction: float = 0.9
+    process_index: int = 0
+    process_count: int = 1
+
+    def __post_init__(self):
+        assert self.data.dtype == np.uint8 and self.data.ndim == 4
+        n_total = self.data.shape[0]
+        n_train = int(n_total * self.train_fraction)
+        split = self.data[:n_train] if self.train else self.data[n_train:]
+        # Per-host disjoint shard (multi-host DP; single host => identity).
+        self.split_data = split[self.process_index :: self.process_count]
+
+    @classmethod
+    def from_npy(cls, path: str, **kw) -> "MovingMNIST":
+        """Load canonical `mnist_test_seq.npy` (time-major) -> batch-major."""
+        arr = np.load(path, mmap_mode="r")
+        if arr.shape[0] == 20 and arr.shape[1] != 20:  # time-major canonical file
+            arr = np.ascontiguousarray(np.transpose(arr, (1, 0, 2, 3)))
+        return cls(data=np.asarray(arr, dtype=np.uint8), **kw)
+
+    def __len__(self) -> int:
+        return self.split_data.shape[0]
+
+    def __getitem__(self, idx) -> np.ndarray:
+        return self.split_data[idx]
+
+    @property
+    def seq_len(self) -> int:
+        return self.split_data.shape[1]
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        seed: int = 0,
+        num_epochs: Optional[int] = None,
+        drop_remainder: bool = True,
+    ) -> Iterator[np.ndarray]:
+        """Yield shuffled (batch_size, T, H, W) uint8 batches, reshuffled each epoch."""
+        n = len(self)
+        if n < batch_size and drop_remainder:
+            raise ValueError(f"dataset ({n}) smaller than batch ({batch_size})")
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while num_epochs is None or epoch < num_epochs:
+            perm = rng.permutation(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                yield np.ascontiguousarray(self.split_data[perm[i : i + batch_size]])
+            epoch += 1
+
+
+def load_or_generate(
+    path: Optional[str] = None,
+    *,
+    num_sequences: int = 10000,
+    seq_len: int = 20,
+    num_digits: int = 2,
+    seed: int = 0,
+    **kw,
+) -> MovingMNIST:
+    """Canonical file if available (and seq_len matches), else procedural data."""
+    candidates = (path,) if path else _CANONICAL_PATHS
+    for p in candidates:
+        if p and os.path.exists(p):
+            ds = MovingMNIST.from_npy(p, **kw)
+            if ds.data.shape[1] >= seq_len:
+                if ds.data.shape[1] > seq_len:
+                    ds = MovingMNIST(
+                        data=np.ascontiguousarray(ds.data[:, :seq_len]), **kw
+                    )
+                return ds
+    data = generate_moving_mnist(
+        num_sequences, seq_len=seq_len, num_digits=num_digits, seed=seed
+    )
+    return MovingMNIST(data=data, **kw)

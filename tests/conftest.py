@@ -1,0 +1,36 @@
+"""Test harness: force an 8-fake-device CPU backend BEFORE jax initializes.
+
+SURVEY.md 4.2 "Distributed without a cluster": the dev box has one TPU chip, so
+DP/shard_map tests run on 8 virtual CPU devices via
+``--xla_force_host_platform_device_count=8``.  Pallas kernels automatically run
+in interpret mode off-TPU (see ops/elbo_pallas._interpret_default).
+
+Set MMVAE_TEST_TPU=1 to run the suite on the real TPU instead (single chip;
+DP tests then skip if fewer than 2 devices).
+"""
+
+import os
+
+if not os.environ.get("MMVAE_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset():
+    """Small synthetic Moving MNIST: 64 sequences of 8 frames."""
+    from mmvae_tpu.data import generate_moving_mnist
+
+    return generate_moving_mnist(64, seq_len=8, seed=0)

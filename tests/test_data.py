@@ -1,0 +1,141 @@
+"""Data layer tests: loader, generator, transforms, double-buffered feed."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvae_tpu.data import (
+    DeviceFeed,
+    MovingMNIST,
+    binarize,
+    generate_moving_mnist,
+    load_or_generate,
+    normalize,
+)
+
+
+class TestGenerator:
+    def test_shape_dtype(self):
+        d = generate_moving_mnist(4, seq_len=20)
+        assert d.shape == (4, 20, 64, 64) and d.dtype == np.uint8
+
+    def test_arbitrary_length(self):
+        d = generate_moving_mnist(2, seq_len=100)
+        assert d.shape[1] == 100
+
+    def test_deterministic(self):
+        a = generate_moving_mnist(2, seq_len=5, seed=7)
+        b = generate_moving_mnist(2, seq_len=5, seed=7)
+        assert np.array_equal(a, b)
+
+    def test_motion(self):
+        """Digits must actually move: consecutive frames differ."""
+        d = generate_moving_mnist(2, seq_len=10, seed=1)
+        diffs = [np.abs(d[:, t + 1].astype(int) - d[:, t].astype(int)).sum() for t in range(9)]
+        assert all(x > 0 for x in diffs)
+
+    def test_digits_in_frame(self):
+        d = generate_moving_mnist(8, seq_len=5, seed=2)
+        # Every frame has lit pixels (sprites never leave the canvas).
+        assert (d.reshape(8 * 5, -1).max(axis=1) > 128).all()
+
+
+class TestLoader:
+    def test_canonical_npy_transpose(self, tmp_path):
+        """Time-major canonical layout (20, N, 64, 64) -> batch-major."""
+        arr = np.random.default_rng(0).integers(0, 255, (20, 30, 64, 64), dtype=np.uint8)
+        p = tmp_path / "mnist_test_seq.npy"
+        np.save(p, arr)
+        ds = MovingMNIST.from_npy(str(p))
+        assert ds.data.shape == (30, 20, 64, 64)
+        assert np.array_equal(ds.data[3, 5], arr[5, 3])
+
+    def test_train_val_split(self):
+        data = generate_moving_mnist(20, seq_len=4)
+        tr = MovingMNIST(data, train=True, train_fraction=0.8)
+        va = MovingMNIST(data, train=False, train_fraction=0.8)
+        assert len(tr) == 16 and len(va) == 4
+        assert np.array_equal(va[0], data[16])
+
+    def test_host_sharding_disjoint(self):
+        data = generate_moving_mnist(16, seq_len=4)
+        shards = [
+            MovingMNIST(data, process_index=i, process_count=4) for i in range(4)
+        ]
+        tot = sum(len(s) for s in shards)
+        assert tot == len(MovingMNIST(data))
+        # disjoint: stack of all shard elements is a permutation of the split
+        allrows = np.concatenate([s.split_data for s in shards])
+        assert allrows.shape[0] == tot
+
+    def test_batches_shuffled_per_epoch(self):
+        ds = MovingMNIST(generate_moving_mnist(32, seq_len=4), train_fraction=1.0)
+        it = ds.batches(8, seed=0, num_epochs=2)
+        e1 = [next(it) for _ in range(4)]
+        e2 = [next(it) for _ in range(4)]
+        assert e1[0].shape == (8, 4, 64, 64)
+        assert not np.array_equal(np.concatenate(e1), np.concatenate(e2))
+
+    def test_load_or_generate_fallback(self):
+        ds = load_or_generate(path=None, num_sequences=8, seq_len=6)
+        assert ds.data.shape == (8, 6, 64, 64)
+
+
+class TestTransforms:
+    def test_normalize(self):
+        u8 = jnp.asarray(np.array([[0, 128, 255]], np.uint8))
+        f = normalize(u8)
+        assert f.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(f), [[0.0, 128 / 255, 1.0]], atol=1e-7)
+
+    def test_binarize_distribution(self):
+        x = jnp.full((100, 100), 0.3, jnp.float32)
+        b = binarize(x, jax.random.key(0))
+        assert set(np.unique(np.asarray(b))) <= {0.0, 1.0}
+        assert abs(float(b.mean()) - 0.3) < 0.02
+
+    def test_binarize_extremes(self):
+        z = binarize(jnp.zeros((10, 10)), jax.random.key(1))
+        o = binarize(jnp.ones((10, 10)), jax.random.key(1))
+        assert float(z.sum()) == 0.0 and float(o.sum()) == 100.0
+
+
+class TestDeviceFeed:
+    def test_order_and_content(self):
+        batches = [np.full((2, 3), i, np.uint8) for i in range(10)]
+        out = list(DeviceFeed(iter(batches), depth=2))
+        assert len(out) == 10
+        for i, b in enumerate(out):
+            assert isinstance(b, jax.Array)
+            assert int(b[0, 0]) == i
+
+    def test_error_propagation(self):
+        def gen():
+            yield np.zeros((1,), np.uint8)
+            raise ValueError("boom")
+
+        feed = DeviceFeed(gen(), depth=2)
+        next(feed)
+        with pytest.raises(ValueError, match="boom"):
+            next(feed)
+            next(feed)
+
+    def test_stop_midstream(self):
+        def gen():
+            while True:
+                yield np.zeros((4,), np.uint8)
+
+        with DeviceFeed(gen(), depth=2) as feed:
+            next(feed)
+            next(feed)
+        # context exit stopped the thread; no hang
+
+    def test_sharded_placement(self):
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        n = len(jax.devices())
+        batches = [np.zeros((2 * n, 3, 3), np.uint8) for _ in range(3)]
+        out = list(DeviceFeed(iter(batches), sharding=sh, depth=2))
+        assert out[0].sharding == sh
