@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json:2): training frames/sec/chip on 20-frame clips —
+the ConvLSTM sequence VAE (config 3), real train steps on the local chip.
+"""
+
+import json
+import sys
+
+
+def main() -> int:
+    from mmvae_tpu.configs import get_config
+    from mmvae_tpu.bench.throughput import run_benchmark
+
+    cfg = get_config("seq_vae")
+    result = run_benchmark(cfg, steps=100, warmup=10)
+    print(
+        json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": result["unit"],
+                "vs_baseline": result["vs_baseline"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

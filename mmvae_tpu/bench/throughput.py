@@ -1,0 +1,104 @@
+"""Training-throughput benchmark: frames/sec/chip (SURVEY.md C20).
+
+The judged metric (BASELINE.json:2): "training frames/sec/chip on 20-frame
+clips", north-star >= 50,000 on a v4-8 chip.  Methodology:
+
+- real training steps (forward + backward + optax update) on synthetic data
+  already resident in HBM (the feed's steady-state condition — input is u8 at
+  0.8 GB/s for 50k frames/s, far below HBM/PCIe limits, so compute is the
+  honest bound and the double-buffered feed hides the copy in production);
+- `jax.block_until_ready` fencing; warmup excluded (compile + first-step);
+- frames/sec/chip = batch_frames * steps / wall_time / n_local_devices.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR_FRAMES_PER_SEC = 50_000.0
+
+
+def run_benchmark(
+    cfg,
+    *,
+    steps: int = 200,
+    warmup: int = 20,
+    data_parallel: Optional[bool] = None,
+) -> Dict:
+    from mmvae_tpu.parallel import mesh as pmesh
+    from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape
+    from mmvae_tpu.train.state import create_train_state
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    shape = _sample_shape(cfg)
+    state = create_train_state(model, cfg.optim, rng, shape)
+
+    device_mesh = pmesh.make_mesh()
+    n_dev = device_mesh.size
+    use_dp = (data_parallel if data_parallel is not None else cfg.train.data_parallel) and n_dev > 1
+    if use_dp:
+        inner = make_train_step(
+            model,
+            binarize=cfg.data.binarize,
+            use_pallas=cfg.train.use_pallas,
+            axis_name=pmesh.DATA_AXIS,
+        )
+        step_fn = pmesh.dp_step(inner, device_mesh)
+        batch_sharding = pmesh.batch_sharding(device_mesh)
+        state = jax.device_put(state, pmesh.replicated_sharding(device_mesh))
+    else:
+        step_fn = jax.jit(
+            make_train_step(
+                model, binarize=cfg.data.binarize, use_pallas=cfg.train.use_pallas
+            ),
+            donate_argnums=(0,),
+        )
+        batch_sharding = None
+
+    batch = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
+    batch = (
+        jax.device_put(batch, batch_sharding)
+        if batch_sharding is not None
+        else jax.device_put(batch)
+    )
+
+    for _ in range(warmup):
+        state, metrics = step_fn(state, batch)
+    # Hard host-level sync: fetching a metric forces the full pipeline to
+    # drain (block_until_ready alone showed a first-window artifact on the
+    # axon-tunneled chip).
+    float(np.asarray(metrics["loss"]))
+
+    windows = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step_fn(state, batch)
+        float(np.asarray(metrics["loss"]))
+        windows.append(time.perf_counter() - t0)
+    dt = float(np.median(windows))
+
+    frames_per_step = shape[0] if cfg.data.per_frame else shape[0] * shape[1]
+    fps = frames_per_step * steps / dt
+    fps_chip = fps / n_dev
+    return {
+        "metric": "training frames/sec/chip (20-frame clips)"
+        if not cfg.data.per_frame
+        else "training frames/sec/chip (single frames)",
+        "value": round(fps_chip, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps_chip / NORTH_STAR_FRAMES_PER_SEC, 4),
+        "config": cfg.name,
+        "batch_frames": frames_per_step,
+        "steps": steps,
+        "wall_sec": round(dt, 3),
+        "n_devices": n_dev,
+        "device": jax.devices()[0].device_kind,
+        "final_loss": float(np.asarray(metrics["loss"])),
+    }

@@ -1,0 +1,130 @@
+"""CLI: `mmvae train|sample|bench` (SURVEY.md C19, layer L7).
+
+Examples:
+    mmvae train --config seq_vae --set train.steps=2000 --set optim.lr=3e-4
+    mmvae sample --config conv_vae --ckpt /tmp/ck --out samples.png
+    mmvae bench --config seq_vae --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--config", required=True, help="named config (BASELINE configs)")
+    p.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="dotted config override, e.g. --set optim.lr=1e-4",
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="mmvae", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="train a model config")
+    _add_common(p_train)
+    p_train.add_argument("--steps", type=int, default=None, help="override step count")
+
+    p_sample = sub.add_parser("sample", help="generate frames from a checkpoint")
+    _add_common(p_sample)
+    p_sample.add_argument("--ckpt", required=True, help="checkpoint directory")
+    p_sample.add_argument("--out", default="samples.png")
+    p_sample.add_argument("--mode", choices=["prior", "reconstruct", "rollout"], default="prior")
+    p_sample.add_argument("--batch", type=int, default=8)
+    p_sample.add_argument("--seed", type=int, default=0)
+
+    p_bench = sub.add_parser("bench", help="measure training frames/sec")
+    _add_common(p_bench)
+    p_bench.add_argument("--steps", type=int, default=200)
+    p_bench.add_argument("--warmup", type=int, default=20)
+
+    args = parser.parse_args(argv)
+
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config(args.config, tuple(args.set))
+
+    if args.cmd == "train":
+        from mmvae_tpu.train.loop import fit
+
+        if args.steps is not None:
+            cfg.train.steps = args.steps
+        fit(cfg)
+        return 0
+
+    if args.cmd == "sample":
+        return _sample(cfg, args)
+
+    if args.cmd == "bench":
+        from mmvae_tpu.bench.throughput import run_benchmark
+
+        result = run_benchmark(cfg, steps=args.steps, warmup=args.warmup)
+        print(json.dumps(result))
+        return 0
+
+    return 1
+
+
+def _sample(cfg, args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from mmvae_tpu.data.loader import load_or_generate
+    from mmvae_tpu.data.transforms import normalize
+    from mmvae_tpu.sample import generate as gen
+    from mmvae_tpu.train import checkpoint as ckpt
+    from mmvae_tpu.train.loop import build_model, _sample_shape
+    from mmvae_tpu.train.state import create_train_state
+
+    model = build_model(cfg)
+    template = create_train_state(
+        model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+    )
+    state, step = ckpt.restore_latest(args.ckpt, template)
+    if step == 0:
+        print(f"warning: no checkpoint found in {args.ckpt}; using init params",
+              file=sys.stderr)
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.mode == "prior":
+        frames = gen.prior_sample(
+            model, state.params, rng, args.batch,
+            seq_len=None if cfg.data.per_frame else cfg.data.seq_len,
+        )
+    else:
+        ds = load_or_generate(
+            cfg.data.path,
+            num_sequences=max(args.batch, 4),
+            seq_len=cfg.data.seq_len,
+            seed=cfg.data.seed + 1,
+            train_fraction=0.0,
+            train=False,
+        )
+        clips = normalize(jnp.asarray(ds.data[: args.batch]))
+        if args.mode == "reconstruct":
+            x = clips[:, 0] if cfg.data.per_frame else clips
+            frames = gen.reconstruct(model, state.params, x, rng)
+        else:  # rollout
+            ctx_len = getattr(model, "context_len", cfg.data.seq_len // 2)
+            frames = gen.rollout(
+                model, state.params, clips[:, :ctx_len],
+                cfg.data.seq_len - ctx_len, rng,
+            )
+
+    if frames.ndim == 4 and args.out.endswith(".gif"):
+        gen.save_gif(frames, args.out)
+    else:
+        gen.save_grid(frames, args.out)
+    print(f"wrote {args.out} ({frames.shape})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

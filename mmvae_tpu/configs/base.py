@@ -1,0 +1,162 @@
+"""Plain-dataclass config system with dotted CLI overrides.
+
+One named config per BASELINE.json contract line (6-12); no heavyweight config
+dependency (SURVEY.md section 5 "Config / flag system").  Override any field
+from the CLI: ``--set optim.lr=1e-4 --set data.batch_size=256``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass
+class DataConfig:
+    path: Optional[str] = None          # canonical .npy; None -> procedural
+    num_sequences: int = 10000          # procedural dataset size
+    seq_len: int = 20
+    num_digits: int = 2
+    batch_size: int = 64                # clips (sequence models) or frames (per-frame)
+    per_frame: bool = False             # True: feed single frames (configs 1-2)
+    binarize: bool = True               # stochastic Bernoulli binarization
+    train_fraction: float = 0.9
+    prefetch_depth: int = 2
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "mlp_vae"
+    kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    dtype: str = "float32"              # activation dtype: float32 | bfloat16
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    lr: float = 1e-3
+    b1: float = 0.9
+    b2: float = 0.999
+    grad_clip: Optional[float] = None   # global-norm clip; None = off
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    steps: int = 10000
+    log_every: int = 50
+    eval_every: int = 1000
+    checkpoint_every: int = 1000
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
+    seed: int = 0
+    use_pallas: Optional[bool] = None   # None = auto (Pallas on TPU)
+    data_parallel: bool = True
+    metrics_csv: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Config:
+    name: str = "default"
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def override(self, dotted: str, value: str) -> None:
+        """Apply `a.b=value` with type coercion from the field's current type."""
+        keys = dotted.split(".")
+        obj: Any = self
+        for k in keys[:-1]:
+            obj = getattr(obj, k) if not isinstance(obj, dict) else obj[k]
+        leaf = keys[-1]
+        if isinstance(obj, dict):
+            obj[leaf] = _coerce(value, obj.get(leaf))
+        else:
+            setattr(obj, leaf, _coerce(value, getattr(obj, leaf)))
+
+
+def _coerce(value: str, current: Any) -> Any:
+    if isinstance(current, bool) or value.lower() in ("true", "false"):
+        return value.lower() == "true"
+    if value.lower() in ("none", "null"):
+        return None
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if current is None:
+        for cast in (int, float):
+            try:
+                return cast(value)
+            except ValueError:
+                pass
+    return value
+
+
+def _mk(name: str, **kw) -> Config:
+    c = Config(name=name, **kw)
+    return c
+
+
+def config_mlp_vae() -> Config:
+    """BASELINE.json:7 — MLP VAE on single 64x64 frames, latent 20, batch 64."""
+    return _mk(
+        "mlp_vae",
+        data=DataConfig(batch_size=64, per_frame=True),
+        model=ModelConfig(name="mlp_vae", kwargs={"latent_dim": 20}),
+    )
+
+
+def config_conv_vae() -> Config:
+    """BASELINE.json:8 — per-frame Conv VAE, 4-layer enc/dec, latent 64, batch 128."""
+    return _mk(
+        "conv_vae",
+        data=DataConfig(batch_size=128, per_frame=True),
+        model=ModelConfig(name="conv_vae", kwargs={"latent_dim": 64}),
+    )
+
+
+def config_seq_vae() -> Config:
+    """BASELINE.json:9 — ConvLSTM sequence VAE on 20-frame clips."""
+    return _mk(
+        "seq_vae",
+        data=DataConfig(batch_size=32, seq_len=20),
+        model=ModelConfig(name="seq_vae", kwargs={"latent_dim": 128}),
+    )
+
+
+def config_pred_vae() -> Config:
+    """BASELINE.json:10 — 10 context frames -> 10 future frames."""
+    return _mk(
+        "pred_vae",
+        data=DataConfig(batch_size=32, seq_len=20),
+        model=ModelConfig(name="pred_vae", kwargs={"context_len": 10}),
+    )
+
+
+def config_hier_vae() -> Config:
+    """BASELINE.json:11 — hierarchical temporal latents, 100-frame clips, DP."""
+    return _mk(
+        "hier_vae",
+        data=DataConfig(batch_size=8, seq_len=100, num_sequences=2000),
+        model=ModelConfig(
+            name="hier_vae", kwargs={"chunk_len": 10, "remat": True}
+        ),
+    )
+
+
+CONFIG_REGISTRY = {
+    "mlp_vae": config_mlp_vae,
+    "conv_vae": config_conv_vae,
+    "seq_vae": config_seq_vae,
+    "pred_vae": config_pred_vae,
+    "hier_vae": config_hier_vae,
+}
+
+
+def get_config(name: str, overrides: Tuple[str, ...] = ()) -> Config:
+    cfg = CONFIG_REGISTRY[name]()
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        cfg.override(key.strip(), val.strip())
+    return cfg

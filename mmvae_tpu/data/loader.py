@@ -177,6 +177,29 @@ class MovingMNIST:
                 yield np.ascontiguousarray(self.split_data[perm[i : i + batch_size]])
             epoch += 1
 
+    def frame_batches(
+        self,
+        batch_size: int,
+        *,
+        seed: int = 0,
+        num_epochs: Optional[int] = None,
+    ) -> Iterator[np.ndarray]:
+        """Yield (batch_size, H, W) uint8 batches of individual frames.
+
+        For the per-frame models (configs 1-2: "single 64x64 frames").  Each
+        epoch is one shuffled pass over every (sequence, t) frame.
+        """
+        n, t = self.split_data.shape[:2]
+        total = n * t
+        rng = np.random.default_rng(seed)
+        flat = self.split_data.reshape(total, *self.split_data.shape[2:])
+        epoch = 0
+        while num_epochs is None or epoch < num_epochs:
+            perm = rng.permutation(total)
+            for i in range(0, total - batch_size + 1, batch_size):
+                yield np.ascontiguousarray(flat[perm[i : i + batch_size]])
+            epoch += 1
+
 
 def load_or_generate(
     path: Optional[str] = None,

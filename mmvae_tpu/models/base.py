@@ -1,0 +1,100 @@
+"""Shared model interface and conv building blocks.
+
+Capability parity with the reference's `VAE.encode/decode/reparameterize`
+split (SURVEY.md 2.1) but restructured for TPU: sampling is *injected* as
+`sample_fn(mu, logvar) -> z` so the train step can route it through the fused
+Pallas kernel (`ops.reparameterize`) and own all RNG, keeping modules pure.
+
+Layout conventions:
+- frames are NHWC with an explicit trailing channel of 1;
+- sequence models take (B, T, H, W); per-frame models take (B, H, W);
+- activations optionally run in bfloat16 (`dtype`) for MXU throughput while
+  params, mu/logvar heads, and the ELBO reduction stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# sample_fn(mu, logvar, salt=0) -> z.  `salt` decorrelates multiple draws in
+# one forward pass (the hierarchical model samples a global latent AND a set
+# of chunk latents); implementations fold it into their RNG.
+SampleFn = Callable[..., jax.Array]
+
+
+class VAEOutput(NamedTuple):
+    """Unified forward-pass result consumed by the loss.
+
+    negative ELBO = BCE(logits, target) + KL(mu, logvar || N(0,I)) + extra_kl.
+    `target` lets prediction models reconstruct a different slice of the clip
+    than they condition on; `extra_kl` carries learned-prior KL terms
+    (hierarchical model) that the fused standard-normal kernel cannot express.
+    """
+
+    logits: jax.Array  # same shape as target
+    target: jax.Array  # frames the likelihood scores, f32 in [0,1] or {0,1}
+    mu: jax.Array      # (B, L) top-level posterior mean
+    logvar: jax.Array  # (B, L) top-level posterior log-variance
+    z: jax.Array       # (B, L) sampled latent
+    extra_kl: jax.Array  # scalar f32, additional KL (0 where unused)
+
+
+def zero_extra_kl() -> jax.Array:
+    return jnp.zeros((), jnp.float32)
+
+
+class ConvEncoder(nn.Module):
+    """Strided-conv frame encoder: (N, 64, 64, 1) -> (N, 64/2^k, 64/2^k, C_last).
+
+    TPU notes: NHWC + 4x4/stride-2 convs lower to MXU-friendly XLA convolutions;
+    channel widths are powers of two.
+    """
+
+    channels: Sequence[int] = (32, 64, 128)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x.astype(self.dtype)
+        for ch in self.channels:
+            h = nn.Conv(ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)(h)
+            h = nn.relu(h)
+        return h
+
+
+class ConvDecoder(nn.Module):
+    """Transposed-conv frame decoder, mirror of ConvEncoder; emits 1-ch logits."""
+
+    channels: Sequence[int] = (128, 64, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> jax.Array:
+        for ch in self.channels:
+            h = nn.ConvTranspose(
+                ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype
+            )(h)
+            h = nn.relu(h)
+        # Final 1x1 conv to single-channel logits, computed in f32 for a
+        # numerically clean Bernoulli likelihood.
+        logits = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32)(
+            h.astype(jnp.float32)
+        )
+        return logits
+
+
+class GaussianHead(nn.Module):
+    """Flatten -> (mu, logvar), always f32 (posterior stats feed the KL)."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, h: jax.Array):
+        flat = h.reshape(h.shape[0], -1).astype(jnp.float32)
+        mu = nn.Dense(self.latent_dim, dtype=jnp.float32, name="mu")(flat)
+        logvar = nn.Dense(self.latent_dim, dtype=jnp.float32, name="logvar")(flat)
+        return mu, logvar

@@ -1,0 +1,109 @@
+"""Config 3 (BASELINE.json:9): ConvLSTM sequence VAE on 20-frame clips.
+
+Parity with the reference's recurrent sequence VAE (SURVEY.md 2.1): encode the
+whole clip to a single latent, decode the whole clip back.  TPU-first
+structure (SURVEY.md 3.2):
+
+- the per-frame conv stack runs batched over B*T (one big XLA conv — MXU
+  utilization scales with batch), only the recurrence is sequential;
+- the ConvLSTM operates at 8x8 spatial resolution (3 stride-2 downsamples),
+  so each scan step is cheap and VMEM-resident;
+- encode: scan over T frames -> terminal hidden state -> (mu, logvar);
+- decode: z -> initial (c, h) + a per-step z-token input, scan T steps,
+  then one batched deconv stack back to 64x64 logits.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmvae_tpu.models.base import (
+    ConvDecoder,
+    ConvEncoder,
+    GaussianHead,
+    SampleFn,
+    VAEOutput,
+    zero_extra_kl,
+)
+from mmvae_tpu.models.convlstm import ConvLSTMCell, scan_convlstm
+
+
+class ConvLSTMSeqVAE(nn.Module):
+    latent_dim: int = 128
+    enc_channels: Sequence[int] = (32, 64, 128)  # 64 -> 32 -> 16 -> 8
+    lstm_features: int = 128
+    image_size: int = 64
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        self.grid = self.image_size // (2 ** len(self.enc_channels))
+        self.frame_enc = ConvEncoder(self.enc_channels, dtype=self.dtype)
+        self.enc_lstm = scan_convlstm(
+            ConvLSTMCell, self.lstm_features, name="enc_lstm",
+            dtype=self.dtype, remat=self.remat,
+        )
+        self.head = GaussianHead(self.latent_dim)
+        # z -> initial decoder state (c, h) and a per-step input token.
+        self.z_to_state = nn.Dense(
+            2 * self.grid * self.grid * self.lstm_features, dtype=jnp.float32
+        )
+        self.z_to_token = nn.Dense(
+            self.grid * self.grid * 16, dtype=jnp.float32
+        )
+        self.dec_lstm = scan_convlstm(
+            ConvLSTMCell, self.lstm_features, name="dec_lstm",
+            dtype=self.dtype, remat=self.remat,
+        )
+        self.frame_dec = ConvDecoder(
+            tuple(reversed(self.enc_channels)), dtype=self.dtype
+        )
+
+    def encode_features(self, x: jax.Array) -> jax.Array:
+        """(B, T, H, W) -> (B, T, g, g, C): per-frame conv stack, batched B*T."""
+        b, t = x.shape[:2]
+        frames = x.reshape(b * t, *x.shape[2:])[..., None]
+        feats = self.frame_enc(frames)
+        return feats.reshape(b, t, *feats.shape[1:])
+
+    def encode(self, x: jax.Array):
+        """(B, T, H, W) f32 -> (mu, logvar) from the terminal LSTM state."""
+        feats = self.encode_features(x)
+        b = x.shape[0]
+        state0 = ConvLSTMCell.initial_state(
+            b, self.grid, self.grid, self.lstm_features, dtype=self.dtype
+        )
+        (c_t, h_t), _ = self.enc_lstm(state0, feats)
+        del c_t
+        return self.head(h_t)
+
+    def _init_decoder(self, z: jax.Array, t: int):
+        b = z.shape[0]
+        g, f = self.grid, self.lstm_features
+        ch = self.z_to_state(z).reshape(b, g, g, 2 * f).astype(self.dtype)
+        c0, h0 = ch[..., :f], ch[..., f:]
+        token = self.z_to_token(z).reshape(b, 1, g, g, 16).astype(self.dtype)
+        tokens = jnp.broadcast_to(token, (b, t, g, g, 16))
+        return (c0, h0), tokens
+
+    def decode(self, z: jax.Array, t: int) -> jax.Array:
+        """z: (B, latent) -> logits (B, t, H, W)."""
+        state0, tokens = self._init_decoder(z, t)
+        _, hs = self.dec_lstm(state0, tokens)  # (B, t, g, g, F)
+        b = z.shape[0]
+        flat = hs.reshape(b * t, *hs.shape[2:])
+        logits = self.frame_dec(flat)[..., 0]  # batched deconv over B*t
+        return logits.reshape(b, t, self.image_size, self.image_size)
+
+    def __call__(self, x: jax.Array, sample_fn: SampleFn) -> VAEOutput:
+        mu, logvar = self.encode(x)
+        z = sample_fn(mu, logvar)
+        logits = self.decode(z, x.shape[1])
+        return VAEOutput(
+            logits=logits, target=x, mu=mu, logvar=logvar, z=z,
+            extra_kl=zero_extra_kl(),
+        )

@@ -1,0 +1,232 @@
+"""Jitted train/eval steps and the epoch driver (SURVEY.md C14, call stack 3.1).
+
+The whole hot path is ONE jitted function: on-device uint8->f32 preprocess
+(fused by XLA into the encoder), model forward with Pallas-sampled latents,
+fused-ELBO reduce, autodiff, gradient psum over the 'data' mesh axis (the only
+cross-device point), optax update.  RNG seeds derive from the step counter
+inside the graph — no host round-trips in steady state; metrics are fetched
+every `log_every` steps.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmvae_tpu.data import transforms
+from mmvae_tpu.data.feed import DeviceFeed
+from mmvae_tpu.data.loader import load_or_generate
+from mmvae_tpu.models import MODEL_REGISTRY
+from mmvae_tpu.ops import dispatch as ops
+from mmvae_tpu.parallel import mesh as pmesh
+from mmvae_tpu.train import checkpoint as ckpt
+from mmvae_tpu.train.metrics import MetricsLogger
+from mmvae_tpu.train.state import TrainState, create_train_state
+
+Metrics = Dict[str, jax.Array]
+
+
+def _make_sample_fn(seed: jax.Array, use_pallas: Optional[bool]):
+    """sample_fn(mu, logvar, salt) -> z; fresh stream per (seed, salt)."""
+
+    def sample_fn(mu, logvar, salt=0):
+        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu"):
+            from mmvae_tpu.ops.elbo_pallas import reparameterize_pallas
+
+            return reparameterize_pallas(
+                mu, logvar, (seed * 8 + salt + 1).astype(jnp.int32)
+            )
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), salt)
+        from mmvae_tpu.ops.elbo_ref import reparameterize_ref
+
+        return reparameterize_ref(key, mu, logvar)
+
+    return sample_fn
+
+
+def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
+    """loss_fn(params, batch_u8, seed) -> (loss/sample, metrics).
+
+    Loss convention matches the reference (SURVEY.md section 5 metrics note):
+    BCE reduction='sum' + KL sum, divided by batch size -> sum-per-sample.
+    """
+
+    def loss_fn(params, batch_u8, seed):
+        key = jax.random.PRNGKey(seed)
+        x = transforms.preprocess(
+            batch_u8, rng=jax.random.fold_in(key, 7) if binarize else None
+        )
+        out = model.apply(params, x, _make_sample_fn(seed, use_pallas))
+        bce, kl = ops.elbo_parts(
+            out.logits, out.target, out.mu, out.logvar, use_pallas=use_pallas
+        )
+        b = out.mu.shape[0]
+        kl_total = kl + out.extra_kl
+        loss = (bce + kl_total) / b
+        metrics = {
+            "loss": loss,
+            "bce": bce / b,
+            "kl": kl_total / b,
+        }
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    *,
+    binarize: bool = True,
+    use_pallas: Optional[bool] = None,
+    axis_name: Optional[str] = None,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Metrics]]:
+    """Build step(state, batch_u8) -> (state, metrics).
+
+    With `axis_name` set, the step is written to run INSIDE shard_map: the
+    per-shard seed folds in the mesh position (decorrelated sampling/binarize
+    across shards) and grads/metrics are `pmean`'d over the axis.
+    """
+    loss_fn = make_loss_fn(model, binarize=binarize, use_pallas=use_pallas)
+
+    def step(state: TrainState, batch_u8: jax.Array):
+        # int32 LCG-style mix of the step counter (wraparound is fine for seeds)
+        seed = state.step.astype(jnp.int32) * jnp.int32(1103515245) + jnp.int32(12345)
+        if axis_name is not None:
+            idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
+            seed = seed + idx * jnp.int32(1000003)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch_u8, seed
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)  # ICI collective
+            metrics = jax.lax.pmean(metrics, axis_name)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, *, binarize: bool = True, use_pallas=None):
+    loss_fn = make_loss_fn(model, binarize=binarize, use_pallas=use_pallas)
+
+    @jax.jit
+    def eval_step(params, batch_u8, seed):
+        _, metrics = loss_fn(params, batch_u8, seed)
+        return metrics
+
+    return eval_step
+
+
+def build_model(cfg):
+    cls = MODEL_REGISTRY[cfg.model.name]
+    kwargs = dict(cfg.model.kwargs)
+    if cfg.model.dtype == "bfloat16":
+        kwargs["dtype"] = jnp.bfloat16
+    return cls(**kwargs)
+
+
+def _sample_shape(cfg) -> tuple:
+    s = 64
+    if cfg.data.per_frame:
+        return (cfg.data.batch_size, s, s)
+    return (cfg.data.batch_size, cfg.data.seq_len, s, s)
+
+
+def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
+    """Epoch driver (SURVEY.md call stack 3.1, 'new framework' column)."""
+    steps = max_steps or cfg.train.steps
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    dataset = load_or_generate(
+        cfg.data.path,
+        num_sequences=cfg.data.num_sequences,
+        seq_len=cfg.data.seq_len,
+        num_digits=cfg.data.num_digits,
+        seed=cfg.data.seed,
+        train_fraction=cfg.data.train_fraction,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    state = create_train_state(model, cfg.optim, rng, _sample_shape(cfg))
+
+    start_step = 0
+    if cfg.train.resume and cfg.train.checkpoint_dir:
+        state, start_step = ckpt.restore_latest(cfg.train.checkpoint_dir, state)
+
+    device_mesh = pmesh.make_mesh()
+    n_dev = device_mesh.size
+    use_dp = cfg.train.data_parallel and n_dev > 1
+    if use_dp:
+        inner = make_train_step(
+            model,
+            binarize=cfg.data.binarize,
+            use_pallas=cfg.train.use_pallas,
+            axis_name=pmesh.DATA_AXIS,
+        )
+        train_step = pmesh.dp_step(inner, device_mesh)
+        sharding = pmesh.batch_sharding(device_mesh)
+        state = jax.device_put(state, pmesh.replicated_sharding(device_mesh))
+    else:
+        train_step = jax.jit(
+            make_train_step(
+                model, binarize=cfg.data.binarize, use_pallas=cfg.train.use_pallas
+            ),
+            donate_argnums=(0,),
+        )
+        sharding = None
+
+    host_iter = (
+        dataset.frame_batches(cfg.data.batch_size, seed=cfg.data.seed)
+        if cfg.data.per_frame
+        else dataset.batches(cfg.data.batch_size, seed=cfg.data.seed)
+    )
+    frames_per_step = (
+        cfg.data.batch_size
+        if cfg.data.per_frame
+        else cfg.data.batch_size * cfg.data.seq_len
+    )
+
+    logger = MetricsLogger(
+        csv_path=cfg.train.metrics_csv, frames_per_step=frames_per_step
+    )
+    history = []
+
+    # Preemption handling: force a checkpoint on SIGTERM (SURVEY.md section 5).
+    latest = {"state": state, "step": start_step}
+    if cfg.train.checkpoint_dir:
+        from mmvae_tpu.utils.debug import install_sigterm_checkpoint
+
+        install_sigterm_checkpoint(
+            lambda: ckpt.save(
+                cfg.train.checkpoint_dir, latest["state"], latest["step"], force=True
+            )
+        )
+
+    with DeviceFeed(host_iter, sharding=sharding, depth=cfg.data.prefetch_depth) as feed:
+        pending = None  # (step_idx, metrics) fetched one interval late
+        for i in range(start_step, steps):
+            batch = next(feed)
+            state, metrics = train_step(state, batch)
+            latest["state"], latest["step"] = state, i + 1
+            if (i + 1) % cfg.train.log_every == 0 or i + 1 == steps:
+                if pending is not None:
+                    history.append(logger.log(*pending))
+                pending = (i + 1, metrics)  # fetch next interval (no sync stall)
+            if (
+                cfg.train.checkpoint_dir
+                and (i + 1) % cfg.train.checkpoint_every == 0
+            ):
+                ckpt.save(cfg.train.checkpoint_dir, state, i + 1)
+        if pending is not None:
+            history.append(logger.log(*pending))
+
+    if cfg.train.checkpoint_dir:
+        ckpt.save(cfg.train.checkpoint_dir, state, steps, force=True)
+    logger.close()
+    return state, history

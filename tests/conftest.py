@@ -12,12 +12,16 @@ DP tests then skip if fewer than 2 devices).
 import os
 
 if not os.environ.get("MMVAE_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The axon TPU plugin overrides the JAX_PLATFORMS env var via its
+    # sitecustomize hook; the programmatic config wins over that.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,50 @@
+"""Config system: registry completeness vs the contract, override coercion."""
+
+import pytest
+
+from mmvae_tpu.configs import CONFIG_REGISTRY, get_config
+
+
+class TestRegistry:
+    def test_all_five_contract_configs(self):
+        """BASELINE.json:6-12 lists exactly these five capabilities."""
+        assert set(CONFIG_REGISTRY) == {
+            "mlp_vae", "conv_vae", "seq_vae", "pred_vae", "hier_vae",
+        }
+
+    def test_contract_hyperparameters(self):
+        assert get_config("mlp_vae").model.kwargs["latent_dim"] == 20
+        assert get_config("mlp_vae").data.batch_size == 64
+        assert get_config("mlp_vae").data.per_frame
+        assert get_config("conv_vae").model.kwargs["latent_dim"] == 64
+        assert get_config("conv_vae").data.batch_size == 128
+        assert get_config("seq_vae").data.seq_len == 20
+        assert get_config("pred_vae").model.kwargs["context_len"] == 10
+        assert get_config("hier_vae").data.seq_len == 100
+        assert get_config("hier_vae").model.kwargs["chunk_len"] == 10
+
+
+class TestOverrides:
+    def test_float_int_bool(self):
+        cfg = get_config(
+            "mlp_vae",
+            ("optim.lr=0.01", "train.steps=77", "data.binarize=false"),
+        )
+        assert cfg.optim.lr == 0.01
+        assert cfg.train.steps == 77
+        assert cfg.data.binarize is False
+
+    def test_model_kwargs_override(self):
+        cfg = get_config("mlp_vae", ("model.kwargs.latent_dim=5",))
+        assert cfg.model.kwargs["latent_dim"] == 5
+
+    def test_none_override(self):
+        cfg = get_config("mlp_vae", ("train.checkpoint_dir=/tmp/x",))
+        assert cfg.train.checkpoint_dir == "/tmp/x"
+        cfg.override("train.checkpoint_dir", "none")
+        assert cfg.train.checkpoint_dir is None
+
+    def test_bad_key_raises(self):
+        with pytest.raises(AttributeError):
+            get_config("mlp_vae", ("optim.nonexistent_field_xyz=3",))
+        # note: dataclasses allow setattr of new names; guard via getattr probe

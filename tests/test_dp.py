@@ -1,0 +1,129 @@
+"""Data-parallel correctness on 8 fake devices (SURVEY.md 4.2 "Distributed").
+
+Asserts the shard_map dp step is numerically equivalent to the single-device
+step on the concatenated batch: pmean'd gradients == full-batch gradients
+(given matched per-shard loss normalization and deterministic sampling).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvae_tpu.models import MLPVAE
+from mmvae_tpu.ops.elbo_ref import elbo_parts_ref
+from mmvae_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (fake) devices")
+    return jax.devices()[:8]
+
+
+def _setup():
+    model = MLPVAE(latent_dim=8, hidden_dim=32)
+    x = jnp.asarray(
+        (np.random.default_rng(0).uniform(size=(16, 64, 64)) < 0.3).astype(np.float32)
+    )
+    params = model.init(jax.random.key(0), x, lambda m, v, salt=0: m)
+    return model, params, x
+
+
+def _loss(model, params, x):
+    # deterministic "sampling" (z = mu) so shards and the full batch agree
+    out = model.apply(params, x, lambda m, v, salt=0: m)
+    bce, kl = elbo_parts_ref(out.logits, out.target, out.mu, out.logvar)
+    return (bce + kl) / out.mu.shape[0]
+
+
+class TestDP:
+    def test_mesh_construction(self, eight_devices):
+        m = pmesh.make_mesh(eight_devices)
+        assert m.size == 8 and m.axis_names == (pmesh.DATA_AXIS,)
+
+    def test_psum_grads_match_full_batch(self, eight_devices):
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        model, params, x = _setup()
+        mesh = pmesh.make_mesh(eight_devices)
+
+        g_full = jax.grad(lambda p: _loss(model, p, x))(params)
+
+        def shard_grad(p, xs):
+            g = jax.grad(lambda q: _loss(model, q, xs))(p)
+            return jax.lax.pmean(g, pmesh.DATA_AXIS)
+
+        g_dp = jax.jit(
+            shard_map(
+                shard_grad,
+                mesh=mesh,
+                in_specs=(P(), P(pmesh.DATA_AXIS)),
+                out_specs=P(),
+                check_rep=False,
+            )
+        )(params, x)
+
+        for a, b in zip(jax.tree.leaves(g_dp), jax.tree.leaves(g_full)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_dp_train_step_runs_and_replicates(self, eight_devices):
+        from mmvae_tpu.configs import get_config
+        from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape
+        from mmvae_tpu.train.state import create_train_state
+
+        cfg = get_config("mlp_vae")
+        cfg.data.batch_size = 16
+        cfg.model.kwargs.update({"latent_dim": 8, "hidden_dim": 32})
+        model = build_model(cfg)
+        state = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        )
+        mesh = pmesh.make_mesh(eight_devices)
+        step = pmesh.dp_step(
+            make_train_step(model, binarize=True, axis_name=pmesh.DATA_AXIS),
+            mesh,
+            donate_state=False,
+        )
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        batch = np.random.default_rng(0).integers(0, 256, (16, 64, 64), np.uint8)
+        batch = jax.device_put(batch, pmesh.batch_sharding(mesh))
+        new_state, metrics = step(state, batch)
+        assert int(np.asarray(new_state.step)) == 1
+        assert np.isfinite(float(np.asarray(metrics["loss"])))
+        # params replicated: every device shard equal
+        leaf = jax.tree.leaves(new_state.params)[0]
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+    def test_two_dp_steps_decrease_loss(self, eight_devices):
+        from mmvae_tpu.configs import get_config
+        from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape
+        from mmvae_tpu.train.state import create_train_state
+
+        cfg = get_config("mlp_vae")
+        cfg.data.batch_size = 16
+        cfg.model.kwargs.update({"latent_dim": 8, "hidden_dim": 32})
+        cfg.optim.lr = 1e-4  # sum-per-sample loss: big grads, keep lr small
+        model = build_model(cfg)
+        state = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        )
+        mesh = pmesh.make_mesh(eight_devices)
+        step = pmesh.dp_step(
+            make_train_step(model, binarize=False, axis_name=pmesh.DATA_AXIS),
+            mesh,
+            donate_state=False,
+        )
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        batch = np.random.default_rng(0).integers(0, 256, (16, 64, 64), np.uint8)
+        batch = jax.device_put(batch, pmesh.batch_sharding(mesh))
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(np.asarray(metrics["loss"])))
+        assert losses[-1] < losses[0]

@@ -1,0 +1,185 @@
+"""Model-layer tests: shapes, gradient step decreases loss, scan correctness.
+
+SURVEY.md 4.2 "Unit: models".  Small widths keep the 1-core CPU harness fast.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvae_tpu.models import MODEL_REGISTRY
+from mmvae_tpu.models.convlstm import ConvLSTMCell
+from mmvae_tpu.models.hier_vae import gaussian_kl
+
+TINY = {
+    "mlp_vae": ({"latent_dim": 8, "hidden_dim": 32}, (4, 64, 64)),
+    "conv_vae": ({"latent_dim": 8, "channels": (4, 8, 8, 8)}, (4, 64, 64)),
+    "seq_vae": (
+        {"latent_dim": 8, "enc_channels": (4, 8), "lstm_features": 8},
+        (2, 6, 64, 64),
+    ),
+    "pred_vae": (
+        {"latent_dim": 8, "enc_channels": (4, 8), "lstm_features": 8, "context_len": 3},
+        (2, 6, 64, 64),
+    ),
+    "hier_vae": (
+        {
+            "global_latent": 8,
+            "chunk_latent": 4,
+            "chunk_len": 3,
+            "enc_channels": (4, 8),
+            "lstm_features": 8,
+            "chunk_feature": 16,
+        },
+        (2, 6, 64, 64),
+    ),
+}
+
+
+def _sample_fn(key):
+    def fn(mu, logvar, salt=0):
+        k = jax.random.fold_in(key, salt)
+        return mu + jnp.exp(0.5 * logvar) * jax.random.normal(k, mu.shape)
+
+    return fn
+
+
+def _x(shape, seed=0):
+    return jnp.asarray(
+        (np.random.default_rng(seed).uniform(size=shape) < 0.3).astype(np.float32)
+    )
+
+
+@pytest.fixture(scope="module")
+def inits():
+    """Init each tiny model once per module."""
+    out = {}
+    key = jax.random.key(0)
+    for name, (kw, shape) in TINY.items():
+        model = MODEL_REGISTRY[name](**kw)
+        params = model.init(key, _x(shape), _sample_fn(key))
+        out[name] = (model, params, shape)
+    return out
+
+
+@pytest.mark.parametrize("name", list(TINY))
+class TestForward:
+    def test_shapes(self, inits, name):
+        model, params, shape = inits[name]
+        out = model.apply(params, _x(shape), _sample_fn(jax.random.key(1)))
+        assert out.logits.shape == out.target.shape
+        assert out.mu.shape == out.logvar.shape == out.z.shape
+        assert out.mu.ndim == 2
+        assert np.isfinite(np.asarray(out.logits)).all()
+        if name == "pred_vae":
+            # prediction model scores only the future slice
+            assert out.target.shape[1] == shape[1] - TINY[name][0]["context_len"]
+        else:
+            assert out.target.shape == _x(shape).shape
+
+    def test_one_gradient_step_decreases_loss(self, inits, name):
+        import optax
+
+        from mmvae_tpu.ops.elbo_ref import elbo_parts_ref
+
+        model, params, shape = inits[name]
+        x = _x(shape)
+        sfn = _sample_fn(jax.random.key(2))
+
+        def loss_fn(p):
+            out = model.apply(p, x, sfn)
+            bce, kl = elbo_parts_ref(out.logits, out.target, out.mu, out.logvar)
+            return (bce + kl + out.extra_kl) / out.mu.shape[0]
+
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+        l0, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(g, opt, params)
+        p1 = optax.apply_updates(params, upd)
+        l1 = loss_fn(p1)
+        assert float(l1) < float(l0)
+
+    def test_deterministic_given_rng(self, inits, name):
+        model, params, shape = inits[name]
+        x = _x(shape)
+        o1 = model.apply(params, x, _sample_fn(jax.random.key(3)))
+        o2 = model.apply(params, x, _sample_fn(jax.random.key(3)))
+        assert jnp.array_equal(o1.logits, o2.logits)
+
+
+class TestConvLSTM:
+    def test_scan_equals_python_loop(self):
+        """nn.scan over time must equal stepping the cell manually."""
+        from mmvae_tpu.models.convlstm import scan_convlstm
+
+        key = jax.random.key(0)
+        b, t, h, w, cin, f = 2, 5, 8, 8, 3, 4
+        xs = jnp.asarray(np.random.default_rng(0).normal(size=(b, t, h, w, cin)), jnp.float32)
+
+        cell = ConvLSTMCell(features=f)
+        s0 = ConvLSTMCell.initial_state(b, h, w, f)
+        cell_params = cell.init(key, s0, xs[:, 0])
+
+        # manual loop
+        s = s0
+        outs = []
+        for i in range(t):
+            s, y = cell.apply(cell_params, s, xs[:, i])
+            outs.append(y)
+        manual = jnp.stack(outs, axis=1)
+
+        from flax import linen as nn
+
+        class Scanned(nn.Module):
+            @nn.compact
+            def __call__(self, s0, xs):
+                lstm = scan_convlstm(ConvLSTMCell, f, name="cell")
+                return lstm(s0, xs)
+
+        scanned = Scanned()
+        sp = scanned.init(key, s0, xs)
+        # graft the same params in
+        sp = {"params": {"cell": cell_params["params"]}}
+        _, ys = scanned.apply(sp, s0, xs)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(manual), atol=1e-5)
+
+    def test_forget_gate_keeps_state(self):
+        """With zero input and saturated forget gate, cell state persists."""
+        b, h, w, f = 1, 4, 4, 2
+        cell = ConvLSTMCell(features=f)
+        key = jax.random.key(0)
+        c0 = jnp.ones((b, h, w, f))
+        h0 = jnp.zeros((b, h, w, f))
+        x = jnp.zeros((b, h, w, 1))
+        params = cell.init(key, (c0, h0), x)
+        (c1, _), _ = cell.apply(params, (c0, h0), x)
+        # forget bias +1 => f ~ sigmoid(1) ~ 0.73 with zero weights at init
+        assert float(jnp.abs(c1).mean()) > 0.3
+
+
+class TestHierSpecifics:
+    def test_gaussian_kl_zero_when_equal(self):
+        mu = jnp.ones((3, 4))
+        lv = jnp.full((3, 4), -0.5)
+        assert abs(float(gaussian_kl(mu, lv, mu, lv))) < 1e-6
+
+    def test_gaussian_kl_matches_standard_form(self, rng):
+        """vs p = N(0, I) it must equal the classic VAE KL."""
+        mu = jnp.asarray(rng.normal(size=(5, 6)).astype(np.float32))
+        lv = jnp.asarray(rng.normal(size=(5, 6)).astype(np.float32) * 0.3)
+        general = gaussian_kl(mu, lv, jnp.zeros_like(mu), jnp.zeros_like(lv))
+        classic = -0.5 * jnp.sum(1 + lv - mu**2 - jnp.exp(lv))
+        np.testing.assert_allclose(float(general), float(classic), rtol=1e-5)
+
+    def test_generate(self, inits):
+        model, params, shape = inits["hier_vae"]
+        logits = model.apply(params, jax.random.key(0), 2, 2, method=model.generate)
+        assert logits.shape == (2, 2 * model.chunk_len, 64, 64)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_extra_kl_nonnegative(self, inits):
+        model, params, shape = inits["hier_vae"]
+        out = model.apply(params, _x(shape), _sample_fn(jax.random.key(1)))
+        assert float(out.extra_kl) >= 0.0

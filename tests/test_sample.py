@@ -1,0 +1,63 @@
+"""Generation/eval layer: reconstruction, prior sampling, rollout, file dumps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvae_tpu.models import ConvLSTMSeqVAE, MLPVAE, PredSeqVAE
+from mmvae_tpu.sample import generate as gen
+
+
+def _init(model, shape):
+    x = jnp.zeros(shape, jnp.float32)
+    params = model.init(jax.random.key(0), x, lambda m, v, salt=0: m)
+    return params
+
+
+class TestGenerate:
+    def test_reconstruct_mlp(self):
+        m = MLPVAE(latent_dim=8, hidden_dim=32)
+        p = _init(m, (4, 64, 64))
+        x = jnp.asarray(
+            (np.random.default_rng(0).uniform(size=(4, 64, 64)) < 0.3).astype(np.float32)
+        )
+        r = gen.reconstruct(m, p, x, jax.random.key(1))
+        assert r.shape == x.shape
+        assert (r >= 0).all() and (r <= 1).all()
+
+    def test_prior_sample_mlp(self):
+        m = MLPVAE(latent_dim=8, hidden_dim=32)
+        p = _init(m, (4, 64, 64))
+        s = gen.prior_sample(m, p, jax.random.key(0), 6)
+        assert s.shape == (6, 64, 64)
+
+    def test_prior_sample_seq(self):
+        m = ConvLSTMSeqVAE(latent_dim=8, enc_channels=(4, 8), lstm_features=8)
+        p = _init(m, (2, 4, 64, 64))
+        s = gen.prior_sample(m, p, jax.random.key(0), 2, seq_len=4)
+        assert s.shape == (2, 4, 64, 64)
+        assert np.isfinite(s).all()
+
+    def test_rollout_pred(self):
+        m = PredSeqVAE(
+            latent_dim=8, enc_channels=(4, 8), lstm_features=8, context_len=3
+        )
+        p = _init(m, (2, 6, 64, 64))
+        ctx = jnp.zeros((2, 3, 64, 64))
+        fut = gen.rollout(m, p, ctx, 5, jax.random.key(0))
+        assert fut.shape == (2, 5, 64, 64)
+
+    def test_save_grid_and_gif(self, tmp_path):
+        frames = np.random.default_rng(0).uniform(size=(4, 3, 64, 64)).astype(np.float32)
+        png = tmp_path / "g.png"
+        gif = tmp_path / "g.gif"
+        gen.save_grid(frames[:, 0], str(png))
+        gen.save_gif(frames, str(gif))
+        from PIL import Image
+
+        img = Image.open(png)
+        assert img.size == (128, 128)  # 2x2 grid of 64x64
+        anim = Image.open(gif)
+        assert anim.n_frames == 3
