@@ -52,6 +52,8 @@ class TrainConfig:
     use_pallas: Optional[bool] = None   # None = auto (Pallas on TPU)
     data_parallel: bool = True
     metrics_csv: Optional[str] = None
+    tensorboard_dir: Optional[str] = None
+    eval_batches: int = 4               # val batches per eval pass
 
 
 @dataclasses.dataclass
@@ -120,8 +122,12 @@ def config_seq_vae() -> Config:
     """BASELINE.json:9 — ConvLSTM sequence VAE on 20-frame clips."""
     return _mk(
         "seq_vae",
-        data=DataConfig(batch_size=32, seq_len=20),
-        model=ModelConfig(name="seq_vae", kwargs={"latent_dim": 128}),
+        data=DataConfig(batch_size=64, seq_len=20),
+        # bf16 activations: MXU-native; params, posterior heads, and the ELBO
+        # reduction stay f32 (see models.base docstring).
+        model=ModelConfig(
+            name="seq_vae", kwargs={"latent_dim": 128}, dtype="bfloat16"
+        ),
     )
 
 
@@ -129,8 +135,10 @@ def config_pred_vae() -> Config:
     """BASELINE.json:10 — 10 context frames -> 10 future frames."""
     return _mk(
         "pred_vae",
-        data=DataConfig(batch_size=32, seq_len=20),
-        model=ModelConfig(name="pred_vae", kwargs={"context_len": 10}),
+        data=DataConfig(batch_size=64, seq_len=20),
+        model=ModelConfig(
+            name="pred_vae", kwargs={"context_len": 10}, dtype="bfloat16"
+        ),
     )
 
 
@@ -140,7 +148,8 @@ def config_hier_vae() -> Config:
         "hier_vae",
         data=DataConfig(batch_size=8, seq_len=100, num_sequences=2000),
         model=ModelConfig(
-            name="hier_vae", kwargs={"chunk_len": 10, "remat": True}
+            name="hier_vae", kwargs={"chunk_len": 10, "remat": True},
+            dtype="bfloat16",
         ),
     )
 

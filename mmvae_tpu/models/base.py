@@ -67,24 +67,41 @@ class ConvEncoder(nn.Module):
 
 
 class ConvDecoder(nn.Module):
-    """Transposed-conv frame decoder, mirror of ConvEncoder; emits 1-ch logits."""
+    """Frame decoder, mirror of ConvEncoder; emits 1-channel logits.
+
+    Two upsampling modes (measured on the v5e dev chip, fwd+bwd over 1280
+    frames at 8x8x128 input):
+    - "fast" (default): ConvTranspose with kernel == stride (2x2) — exactly
+      one input tap per output, mathematically a learned pixel shuffle but
+      WITHOUT the depth-to-space relayout (6-D transposes are memory-bound
+      losers on TPU; measured 3.6x-fewer-FLOP shuffle variants ran slower
+      than 4x4 transpose).  57 GFLOP vs 205 GFLOP for 4x4, ~15% faster
+      end-to-end; the final 3x3 conv provides cross-cell spatial mixing.
+    - "transpose": classic 4x4/stride-2 ConvTranspose (the reference-era
+      layout, kept for the per-frame Conv VAE's architectural parity).
+    """
 
     channels: Sequence[int] = (128, 64, 32)
     dtype: jnp.dtype = jnp.float32
+    upsample: str = "fast"
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
+        h = h.astype(self.dtype)
         for ch in self.channels:
-            h = nn.ConvTranspose(
-                ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype
-            )(h)
+            if self.upsample == "fast":
+                h = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+            else:
+                h = nn.ConvTranspose(
+                    ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype
+                )(h)
             h = nn.relu(h)
-        # Final 1x1 conv to single-channel logits, computed in f32 for a
-        # numerically clean Bernoulli likelihood.
-        logits = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32)(
-            h.astype(jnp.float32)
-        )
-        return logits
+        # Final 3x3 conv to single-channel logits.  Runs in the activation
+        # dtype: full-resolution multi-channel f32 activations would dominate
+        # HBM traffic (measured ~670 MB/pass at B*T=1280); only the 1-channel
+        # logits are cast to f32 (the ELBO reduce accumulates in f32 anyway).
+        logits = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        return logits.astype(jnp.float32)
 
 
 class GaussianHead(nn.Module):

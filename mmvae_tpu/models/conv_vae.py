@@ -41,7 +41,9 @@ class ConvVAE(nn.Module):
         dec_channels = tuple(reversed(self.channels[:-1])) + (
             max(self.channels[0] // 2, 8),
         )
-        self.decoder = ConvDecoder(dec_channels, dtype=self.dtype)
+        # "transpose" = the reference-era conv-transpose mirror (BASELINE.json:8);
+        # the sequence models use the faster pixel-shuffle decoder instead.
+        self.decoder = ConvDecoder(dec_channels, dtype=self.dtype, upsample="transpose")
 
     def encode(self, x: jax.Array):
         """x: (B, H, W) f32 -> (mu, logvar)."""

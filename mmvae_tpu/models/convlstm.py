@@ -1,19 +1,30 @@
-"""ConvLSTM cell (Shi et al. 2015), TPU-shaped.
+"""ConvLSTM (Shi et al. 2015), TPU-shaped.
 
 Parity target: the reference's recurrent core (SURVEY.md 2.1 "ConvLSTM seq
-VAE": ConvLSTM cell(s) over the 20-frame sequence).  TPU-first choices:
+VAE": ConvLSTM cell(s) over the 20-frame sequence).  TPU-first design:
 
-- all four gates come from ONE grouped convolution over concat([x, h]) — a
-  single large MXU contraction per step instead of 8 small ones;
-- state and activations are NHWC; the cell is scanned over time with
-  `flax.linen.scan` (lax.scan under jit: O(1) trace size, static shapes);
-- forget-gate bias starts at +1.0 (standard recurrent-init trick) via a
-  learned bias split.
+- **Hoisted input projection**: conv([x, h]) is split into
+  conv_x(x) + conv_h(h) (same function class — a concat conv IS the sum of two
+  convs on the split).  conv_x over ALL timesteps runs as ONE batched
+  convolution over B*T frames outside the scan (a single large MXU
+  contraction), so the sequential loop carries only the hidden-conv — half
+  the per-step FLOPs, and the parallel half runs at full MXU utilization.
+- **Constant-input fast path**: decoder ConvLSTMs driven by a time-constant
+  z-token compute conv_x once and reuse it every step (`broadcast_in_time`).
+- All four gates per conv come out as one 4F-channel tensor; NHWC; f32 gate
+  math regardless of activation dtype; forget bias +1.
+- `nn.scan` over time (lax.scan under jit); `remat=True` rematerializes the
+  cell in backprop for long sequences (config 5, SURVEY.md section 5).
+
+`ConvLSTMCell` (the concat form) is kept as the reference-equation cell: the
+torch-parity test (tests/test_parity_torch.py) pins its numerics, and
+tests/test_models.py asserts the hoisted `ConvLSTM` matches the concat cell
+exactly when given the split kernels.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,8 +33,21 @@ from flax import linen as nn
 State = Tuple[jax.Array, jax.Array]  # (c, h), each (B, H, W, C)
 
 
+def _gate_math(gates: jax.Array, c: jax.Array, out_dtype) -> Tuple[jax.Array, jax.Array]:
+    """i,f,g,o gate order; forget bias +1; f32 internally."""
+    gates = gates.astype(jnp.float32)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f + 1.0)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c.astype(jnp.float32) + i * g
+    h_new = o * jnp.tanh(c_new)
+    return c_new.astype(out_dtype), h_new.astype(out_dtype)
+
+
 class ConvLSTMCell(nn.Module):
-    """One ConvLSTM step: (state, x_t) -> (state, h_t)."""
+    """One step in the canonical concat form: gates = conv([x, h])."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -33,25 +57,11 @@ class ConvLSTMCell(nn.Module):
     def __call__(self, state: State, x: jax.Array) -> Tuple[State, jax.Array]:
         c, h = state
         xh = jnp.concatenate([x, h], axis=-1).astype(self.dtype)
-        # Single conv producing all gate pre-activations: 4C output channels.
         gates = nn.Conv(
-            4 * self.features,
-            self.kernel,
-            padding="SAME",
-            use_bias=True,
-            dtype=self.dtype,
-            name="gates",
+            4 * self.features, self.kernel, padding="SAME",
+            dtype=self.dtype, name="gates",
         )(xh)
-        gates = gates.astype(jnp.float32)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f + 1.0)  # forget bias +1
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c_new = f * c.astype(jnp.float32) + i * g
-        h_new = o * jnp.tanh(c_new)
-        c_new = c_new.astype(x.dtype)
-        h_new = h_new.astype(x.dtype)
+        c_new, h_new = _gate_math(gates, c, x.dtype)
         return (c_new, h_new), h_new
 
     @staticmethod
@@ -60,6 +70,68 @@ class ConvLSTMCell(nn.Module):
     ) -> State:
         shape = (batch, height, width, features)
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+class _HiddenStep(nn.Module):
+    """Scan body: gates = xg_t (precomputed) + conv_h(h)."""
+
+    features: int
+    kernel: Tuple[int, int]
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, state: State, xg_t: jax.Array) -> Tuple[State, jax.Array]:
+        c, h = state
+        hg = nn.Conv(
+            4 * self.features, self.kernel, padding="SAME", use_bias=False,
+            dtype=self.dtype, name="hidden",
+        )(h.astype(self.dtype))
+        c_new, h_new = _gate_math(xg_t.astype(jnp.float32) + hg.astype(jnp.float32), c, h.dtype)
+        return (c_new, h_new), h_new
+
+
+class ConvLSTM(nn.Module):
+    """Time-scanned ConvLSTM with the hoisted input projection.
+
+    __call__(state0, xs) where xs is (B, T, H, W, Cin), or (B, 1, H, W, Cin)
+    with `length=T` for a time-constant input (decoder z-tokens): conv_x then
+    runs exactly once.
+
+    Returns (final_state, hs[B, T, H, W, F]).
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, state0: State, xs: jax.Array, *, length: Optional[int] = None
+    ) -> Tuple[State, jax.Array]:
+        b, t_in = xs.shape[:2]
+        t = length or t_in
+        # Hoisted input projection: one conv over all B*T_in frames.
+        flat = xs.reshape(b * t_in, *xs.shape[2:]).astype(self.dtype)
+        xg = nn.Conv(
+            4 * self.features, self.kernel, padding="SAME",
+            dtype=self.dtype, name="input",
+        )(flat)
+        xg = xg.reshape(b, t_in, *xg.shape[1:])
+        if t_in == 1 and t > 1:
+            xg = jnp.broadcast_to(xg, (b, t) + xg.shape[2:])
+
+        target = _HiddenStep
+        if self.remat:
+            target = nn.remat(target, prevent_cse=False)
+        scanned = nn.scan(
+            target,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )(features=self.features, kernel=self.kernel, dtype=self.dtype, name="step")
+        return scanned(state0, xg)
 
 
 def scan_convlstm(
@@ -71,11 +143,10 @@ def scan_convlstm(
     remat: bool = False,
     kernel: Tuple[int, int] = (3, 3),
 ):
-    """Build a time-scanned ConvLSTM: (state0, xs[B,T,H,W,C]) -> (stateT, hs[B,T,H,W,F]).
+    """Back-compat builder for a time-scanned concat-form cell.
 
-    `remat=True` wraps the cell in `nn.remat` so backprop through long scans
-    (config 5's 100 frames) rematerializes per-step activations instead of
-    storing all T of them — the long-context mechanism from SURVEY.md section 5.
+    Prefer `ConvLSTM` (hoisted input conv) in models; this remains for tests
+    and as the reference-structured variant.
     """
     target = nn.remat(cell_cls, prevent_cse=False) if remat else cell_cls
     scanned = nn.scan(

@@ -35,7 +35,7 @@ from mmvae_tpu.models.base import (
     SampleFn,
     VAEOutput,
 )
-from mmvae_tpu.models.convlstm import ConvLSTMCell, scan_convlstm
+from mmvae_tpu.models.convlstm import ConvLSTM, ConvLSTMCell
 
 
 def gaussian_kl(mu_q, logvar_q, mu_p, logvar_p) -> jax.Array:
@@ -66,8 +66,8 @@ class HierVideoVAE(nn.Module):
         self.grid = self.image_size // (2 ** len(self.enc_channels))
         g, f = self.grid, self.lstm_features
         self.frame_enc = ConvEncoder(self.enc_channels, dtype=self.dtype)
-        self.chunk_lstm = scan_convlstm(
-            ConvLSTMCell, f, name="chunk_lstm", dtype=self.dtype, remat=self.remat
+        self.chunk_lstm = ConvLSTM(
+            f, name="chunk_lstm", dtype=self.dtype, remat=self.remat
         )
         self.chunk_proj = nn.Dense(self.chunk_feature, dtype=jnp.float32)
         # Global posterior over mean-pooled chunk features.
@@ -85,8 +85,8 @@ class HierVideoVAE(nn.Module):
         # Chunk decoder: (z_g, z_k) -> initial ConvLSTM state + step token.
         self.z_to_state = nn.Dense(2 * g * g * f, dtype=jnp.float32)
         self.z_to_token = nn.Dense(g * g * 16, dtype=jnp.float32)
-        self.dec_lstm = scan_convlstm(
-            ConvLSTMCell, f, name="dec_lstm", dtype=self.dtype, remat=self.remat
+        self.dec_lstm = ConvLSTM(
+            f, name="dec_lstm", dtype=self.dtype, remat=self.remat
         )
         self.frame_dec = ConvDecoder(
             tuple(reversed(self.enc_channels)), dtype=self.dtype
@@ -145,9 +145,9 @@ class HierVideoVAE(nn.Module):
         zz = jnp.concatenate([zg_rep, z_chunks], axis=-1).reshape(b * k, -1)
         ch = self.z_to_state(zz).reshape(b * k, g, g, 2 * f).astype(self.dtype)
         state0 = (ch[..., :f], ch[..., f:])
+        # constant token -> single-shot input projection in the ConvLSTM
         token = self.z_to_token(zz).reshape(b * k, 1, g, g, 16).astype(self.dtype)
-        tokens = jnp.broadcast_to(token, (b * k, tc, g, g, 16))
-        _, hs = self.dec_lstm(state0, tokens)  # (B*K, Tc, g, g, F)
+        _, hs = self.dec_lstm(state0, token, length=tc)  # (B*K, Tc, g, g, F)
         flat = hs.reshape(b * k * tc, *hs.shape[2:])
         logits = self.frame_dec(flat)[..., 0]
         return logits.reshape(b, k * tc, self.image_size, self.image_size)

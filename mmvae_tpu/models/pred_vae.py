@@ -27,7 +27,7 @@ from mmvae_tpu.models.base import (
     VAEOutput,
     zero_extra_kl,
 )
-from mmvae_tpu.models.convlstm import ConvLSTMCell, scan_convlstm
+from mmvae_tpu.models.convlstm import ConvLSTM, ConvLSTMCell
 
 
 class PredSeqVAE(nn.Module):
@@ -42,14 +42,14 @@ class PredSeqVAE(nn.Module):
     def setup(self):
         self.grid = self.image_size // (2 ** len(self.enc_channels))
         self.frame_enc = ConvEncoder(self.enc_channels, dtype=self.dtype)
-        self.enc_lstm = scan_convlstm(
-            ConvLSTMCell, self.lstm_features, name="enc_lstm",
+        self.enc_lstm = ConvLSTM(
+            self.lstm_features, name="enc_lstm",
             dtype=self.dtype, remat=self.remat,
         )
         self.head = GaussianHead(self.latent_dim)
         self.z_to_token = nn.Dense(self.grid * self.grid * 16, dtype=jnp.float32)
-        self.dec_lstm = scan_convlstm(
-            ConvLSTMCell, self.lstm_features, name="dec_lstm",
+        self.dec_lstm = ConvLSTM(
+            self.lstm_features, name="dec_lstm",
             dtype=self.dtype, remat=self.remat,
         )
         self.frame_dec = ConvDecoder(
@@ -78,9 +78,9 @@ class PredSeqVAE(nn.Module):
         """Roll the decoder ConvLSTM n_future steps -> logits (B, n, H, W)."""
         b = z.shape[0]
         g = self.grid
+        # constant token -> ConvLSTM's single-shot input projection
         token = self.z_to_token(z).reshape(b, 1, g, g, 16).astype(self.dtype)
-        tokens = jnp.broadcast_to(token, (b, n_future, g, g, 16))
-        _, hs = self.dec_lstm(state, tokens)
+        _, hs = self.dec_lstm(state, token, length=n_future)
         flat = hs.reshape(b * n_future, *hs.shape[2:])
         logits = self.frame_dec(flat)[..., 0]
         return logits.reshape(b, n_future, self.image_size, self.image_size)

@@ -29,7 +29,7 @@ from mmvae_tpu.models.base import (
     VAEOutput,
     zero_extra_kl,
 )
-from mmvae_tpu.models.convlstm import ConvLSTMCell, scan_convlstm
+from mmvae_tpu.models.convlstm import ConvLSTM, ConvLSTMCell
 
 
 class ConvLSTMSeqVAE(nn.Module):
@@ -43,8 +43,8 @@ class ConvLSTMSeqVAE(nn.Module):
     def setup(self):
         self.grid = self.image_size // (2 ** len(self.enc_channels))
         self.frame_enc = ConvEncoder(self.enc_channels, dtype=self.dtype)
-        self.enc_lstm = scan_convlstm(
-            ConvLSTMCell, self.lstm_features, name="enc_lstm",
+        self.enc_lstm = ConvLSTM(
+            self.lstm_features, name="enc_lstm",
             dtype=self.dtype, remat=self.remat,
         )
         self.head = GaussianHead(self.latent_dim)
@@ -55,8 +55,8 @@ class ConvLSTMSeqVAE(nn.Module):
         self.z_to_token = nn.Dense(
             self.grid * self.grid * 16, dtype=jnp.float32
         )
-        self.dec_lstm = scan_convlstm(
-            ConvLSTMCell, self.lstm_features, name="dec_lstm",
+        self.dec_lstm = ConvLSTM(
+            self.lstm_features, name="dec_lstm",
             dtype=self.dtype, remat=self.remat,
         )
         self.frame_dec = ConvDecoder(
@@ -81,19 +81,20 @@ class ConvLSTMSeqVAE(nn.Module):
         del c_t
         return self.head(h_t)
 
-    def _init_decoder(self, z: jax.Array, t: int):
+    def _init_decoder(self, z: jax.Array):
         b = z.shape[0]
         g, f = self.grid, self.lstm_features
         ch = self.z_to_state(z).reshape(b, g, g, 2 * f).astype(self.dtype)
         c0, h0 = ch[..., :f], ch[..., f:]
+        # Time-constant token: shape (B, 1, g, g, 16) — the ConvLSTM's
+        # constant-input fast path projects it through conv_x exactly once.
         token = self.z_to_token(z).reshape(b, 1, g, g, 16).astype(self.dtype)
-        tokens = jnp.broadcast_to(token, (b, t, g, g, 16))
-        return (c0, h0), tokens
+        return (c0, h0), token
 
     def decode(self, z: jax.Array, t: int) -> jax.Array:
         """z: (B, latent) -> logits (B, t, H, W)."""
-        state0, tokens = self._init_decoder(z, t)
-        _, hs = self.dec_lstm(state0, tokens)  # (B, t, g, g, F)
+        state0, token = self._init_decoder(z)
+        _, hs = self.dec_lstm(state0, token, length=t)  # (B, t, g, g, F)
         b = z.shape[0]
         flat = hs.reshape(b * t, *hs.shape[2:])
         logits = self.frame_dec(flat)[..., 0]  # batched deconv over B*t

@@ -223,6 +223,14 @@ def _reparam_kernel(seed_ref, mu_ref, logvar_ref, z_ref):
 def _reparam_fwd_impl(mu, logvar, seed, interpret):
     if interpret is None:
         interpret = _interpret_default()
+    if interpret:
+        # pltpu.prng_* has no interpret-mode lowering on CPU; use the XLA
+        # sampler off-TPU (same math/VJP; the raw bit-stream differs, which is
+        # fine — no cross-platform bit-parity is promised for sampling).
+        from mmvae_tpu.ops import elbo_ref
+
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(()))
+        return elbo_ref.reparameterize_ref(key, mu, logvar)
     mu2d, n = _pad_flat_2d(mu, _LANE, _SUBLANE)
     lv2d, _ = _pad_flat_2d(logvar, _LANE, _SUBLANE)
     z2d = pl.pallas_call(

@@ -1,0 +1,89 @@
+"""Fused Pallas normalize+binarize: uint8 -> Bernoulli {0,1} f32, one pass.
+
+Contract (BASELINE.json:5): "uint8->f32 normalize/binarize fused on-device".
+The XLA path (`data.transforms`) already fuses normalize into the first conv,
+but stochastic binarization with threefry (`jax.random.uniform`) measured
+~1.7 ms per 5.2M-pixel batch on the v5e dev chip — comparable to a whole
+encoder pass.  This kernel draws raw bits from the on-core PRNG instead and
+emits pixels in a single u8-in/f32-out sweep:
+
+    out = (u8 + 1) > (rand_bits & 0xFF)  as float   (exactly P(on) = u8/255? no:)
+
+Exact semantics: out = 1.0 iff  uniform_u24 * 255 < u8, with uniform_u24 the
+24 high bits of a PRNG draw — i.e. P(on) = u8/255 to within 2^-24, matching
+`transforms.binarize(normalize(u8))` in distribution (verified by moment
+tests).  Throughput is HBM-bound: ~5 bytes/pixel total vs ~13+ for the XLA
+threefry path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_SUBLANE = 8
+_BLOCK_ROWS = 512
+_BLOCK_COLS = 512
+
+
+def _kernel(seed_ref, u8_ref, out_ref, *, binarize):
+    i = pl.program_id(0)
+    if binarize:
+        pltpu.prng_seed(seed_ref[0] + i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.int32)
+        # 24 high bits -> uniform integer in [0, 2^24); threshold at
+        # u8 * 2^24 / 255 gives P(on) = u8/255 exactly (up to integer floor).
+        u24 = jax.lax.shift_right_logical(bits, 8)
+        # Mosaic has no direct u8->f32 cast; widen to int32 first.
+        pix = u8_ref[:].astype(jnp.int32).astype(jnp.float32)
+        thresh = pix * (float(1 << 24) / 255.0)
+        out_ref[:] = (u24.astype(jnp.float32) < thresh).astype(jnp.float32)
+    else:
+        out_ref[:] = u8_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+
+
+def preprocess_pallas(
+    u8: jax.Array,
+    seed: jax.Array,
+    *,
+    binarize: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """uint8 (any shape, size % 128 == 0) -> f32, normalized or binarized."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret and binarize:
+        # pltpu.prng_* has no interpret-mode lowering on CPU; use the XLA path.
+        from mmvae_tpu.data import transforms
+
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(()))
+        return transforms.preprocess(u8, rng=key)
+    n = u8.size
+    shape = u8.shape
+    cols = _BLOCK_COLS if n % _BLOCK_COLS == 0 else _LANE
+    if n % cols:
+        raise ValueError(f"size {n} not divisible by {cols}")
+    rows = n // cols
+    block_rows = min(_BLOCK_ROWS, rows)
+    while rows % block_rows:
+        block_rows //= 2
+    grid = rows // block_rows
+    out = pl.pallas_call(
+        functools.partial(_kernel, binarize=binarize),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), u8.reshape(rows, cols))
+    return out.reshape(shape)

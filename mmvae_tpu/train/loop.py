@@ -56,10 +56,19 @@ def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
     """
 
     def loss_fn(params, batch_u8, seed):
-        key = jax.random.PRNGKey(seed)
-        x = transforms.preprocess(
-            batch_u8, rng=jax.random.fold_in(key, 7) if binarize else None
-        )
+        pallas = use_pallas or (use_pallas is None and jax.default_backend() == "tpu")
+        if pallas and batch_u8.size % 128 == 0:
+            # fused u8->f32 normalize(+Bernoulli binarize) with on-core PRNG
+            from mmvae_tpu.ops.preprocess_pallas import preprocess_pallas
+
+            x = preprocess_pallas(
+                batch_u8, seed * 4 + 2, binarize=binarize
+            )
+        else:
+            key = jax.random.PRNGKey(seed)
+            x = transforms.preprocess(
+                batch_u8, rng=jax.random.fold_in(key, 7) if binarize else None
+            )
         out = model.apply(params, x, _make_sample_fn(seed, use_pallas))
         bce, kl = ops.elbo_parts(
             out.logits, out.target, out.mu, out.logvar, use_pallas=use_pallas
@@ -186,6 +195,48 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         if cfg.data.per_frame
         else dataset.batches(cfg.data.batch_size, seed=cfg.data.seed)
     )
+
+    # Validation split + jitted eval step (reference's test(epoch) analog).
+    val_dataset = load_or_generate(
+        cfg.data.path,
+        num_sequences=cfg.data.num_sequences,
+        seq_len=cfg.data.seq_len,
+        num_digits=cfg.data.num_digits,
+        seed=cfg.data.seed,
+        train_fraction=cfg.data.train_fraction,
+        train=False,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    eval_step = make_eval_step(
+        model, binarize=cfg.data.binarize, use_pallas=cfg.train.use_pallas
+    )
+
+    def run_eval(params) -> dict:
+        # Use the training batch size when the val split allows, else shrink
+        # to the split (costs one extra jit specialization, once).
+        avail = (
+            len(val_dataset) * max(val_dataset.data.shape[1], 1)
+            if cfg.data.per_frame
+            else len(val_dataset)
+        )
+        vbs = min(cfg.data.batch_size, avail)
+        if vbs == 0:
+            return {}
+        it = (
+            val_dataset.frame_batches(vbs, seed=1, num_epochs=1)
+            if cfg.data.per_frame
+            else val_dataset.batches(vbs, seed=1, num_epochs=1)
+        )
+        acc, n = None, 0
+        for _, vb in zip(range(cfg.train.eval_batches), it):
+            m = eval_step(params, jax.device_put(vb), jnp.int32(n))
+            m = {k: float(np.asarray(v)) for k, v in m.items()}
+            acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+            n += 1
+        if not acc:
+            return {}
+        return {f"val_{k}": v / n for k, v in acc.items()}
     frames_per_step = (
         cfg.data.batch_size
         if cfg.data.per_frame
@@ -193,7 +244,9 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     )
 
     logger = MetricsLogger(
-        csv_path=cfg.train.metrics_csv, frames_per_step=frames_per_step
+        csv_path=cfg.train.metrics_csv,
+        frames_per_step=frames_per_step,
+        tensorboard_dir=cfg.train.tensorboard_dir,
     )
     history = []
 
@@ -210,21 +263,25 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
 
     with DeviceFeed(host_iter, sharding=sharding, depth=cfg.data.prefetch_depth) as feed:
         pending = None  # (step_idx, metrics) fetched one interval late
+        val_metrics: dict = {}
         for i in range(start_step, steps):
             batch = next(feed)
             state, metrics = train_step(state, batch)
             latest["state"], latest["step"] = state, i + 1
             if (i + 1) % cfg.train.log_every == 0 or i + 1 == steps:
                 if pending is not None:
-                    history.append(logger.log(*pending))
+                    history.append(logger.log(pending[0], {**pending[1], **val_metrics}))
+                    val_metrics = {}
                 pending = (i + 1, metrics)  # fetch next interval (no sync stall)
+            if cfg.train.eval_every and (i + 1) % cfg.train.eval_every == 0:
+                val_metrics = run_eval(state.params)
             if (
                 cfg.train.checkpoint_dir
                 and (i + 1) % cfg.train.checkpoint_every == 0
             ):
                 ckpt.save(cfg.train.checkpoint_dir, state, i + 1)
         if pending is not None:
-            history.append(logger.log(*pending))
+            history.append(logger.log(pending[0], {**pending[1], **val_metrics}))
 
     if cfg.train.checkpoint_dir:
         ckpt.save(cfg.train.checkpoint_dir, state, steps, force=True)

@@ -22,6 +22,7 @@ class MetricsLogger:
         csv_path: Optional[str] = None,
         frames_per_step: int = 0,
         print_fn=print,
+        tensorboard_dir: Optional[str] = None,
     ):
         self._csv_path = csv_path
         self._csv_file = None
@@ -30,6 +31,11 @@ class MetricsLogger:
         self._print = print_fn
         self._last_time = time.perf_counter()
         self._last_step = None
+        self._tb = None
+        if tensorboard_dir:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(tensorboard_dir)
 
     def log(self, step: int, metrics: Dict[str, jax.Array]) -> Dict[str, float]:
         vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
@@ -44,7 +50,7 @@ class MetricsLogger:
         vals["step"] = step
 
         parts = [f"step {step:>7d}"]
-        for k in ("loss", "bce", "kl"):
+        for k in ("loss", "bce", "kl", "val_loss"):
             if k in vals:
                 parts.append(f"{k} {vals[k]:.2f}")
         if "frames_per_sec" in vals:
@@ -56,16 +62,27 @@ class MetricsLogger:
                 self._csv_file = open(self._csv_path, "w", newline="")
                 self._csv_writer = csv.DictWriter(
                     self._csv_file,
-                    fieldnames=["step", "loss", "bce", "kl", "steps_per_sec", "frames_per_sec"],
+                    fieldnames=[
+                        "step", "loss", "bce", "kl",
+                        "val_loss", "val_bce", "val_kl",
+                        "steps_per_sec", "frames_per_sec",
+                    ],
                     extrasaction="ignore",
                 )
                 self._csv_writer.writeheader()
             row = {k: vals.get(k, "") for k in self._csv_writer.fieldnames}
             self._csv_writer.writerow(row)
             self._csv_file.flush()
+        if self._tb is not None:
+            for k, v in vals.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
         return vals
 
     def close(self):
         if self._csv_file:
             self._csv_file.close()
             self._csv_file = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None

@@ -145,6 +145,60 @@ class TestConvLSTM:
         _, ys = scanned.apply(sp, s0, xs)
         np.testing.assert_allclose(np.asarray(ys), np.asarray(manual), atol=1e-5)
 
+    def test_hoisted_equals_concat_cell(self):
+        """ConvLSTM (hoisted conv_x + conv_h) == concat-form cell when the
+        concat kernel is split row-wise into [input; hidden] kernels."""
+        from mmvae_tpu.models.convlstm import ConvLSTM
+
+        key = jax.random.key(0)
+        b, t, h, w, cin, f = 2, 4, 8, 8, 3, 4
+        xs = jnp.asarray(
+            np.random.default_rng(0).normal(size=(b, t, h, w, cin)), jnp.float32
+        )
+        s0 = ConvLSTMCell.initial_state(b, h, w, f)
+
+        cell = ConvLSTMCell(features=f)
+        cp = cell.init(key, s0, xs[:, 0])
+        kernel = cp["params"]["gates"]["kernel"]  # (kh, kw, cin+f, 4f)
+        bias = cp["params"]["gates"]["bias"]
+
+        s = s0
+        outs = []
+        for i in range(t):
+            s, y = cell.apply(cp, s, xs[:, i])
+            outs.append(y)
+        manual = jnp.stack(outs, axis=1)
+
+        lstm = ConvLSTM(features=f)
+        lp = lstm.init(key, s0, xs)
+        lp = {
+            "params": {
+                "input": {"kernel": kernel[:, :, :cin, :], "bias": bias},
+                "step": {"hidden": {"kernel": kernel[:, :, cin:, :]}},
+            }
+        }
+        _, hs = lstm.apply(lp, s0, xs)
+        np.testing.assert_allclose(np.asarray(hs), np.asarray(manual), atol=1e-5)
+
+    def test_constant_token_fast_path(self):
+        """(B,1,...) + length=T must equal explicitly tiled inputs."""
+        from mmvae_tpu.models.convlstm import ConvLSTM
+
+        key = jax.random.key(1)
+        b, t, h, w, cin, f = 2, 5, 4, 4, 3, 4
+        tok = jnp.asarray(
+            np.random.default_rng(1).normal(size=(b, 1, h, w, cin)), jnp.float32
+        )
+        s0 = ConvLSTMCell.initial_state(b, h, w, f)
+        lstm = ConvLSTM(features=f)
+        params = lstm.init(key, s0, tok, length=t)
+        _, hs_fast = lstm.apply(params, s0, tok, length=t)
+        tiled = jnp.broadcast_to(tok, (b, t, h, w, cin))
+        _, hs_tiled = lstm.apply(params, s0, tiled)
+        np.testing.assert_allclose(
+            np.asarray(hs_fast), np.asarray(hs_tiled), atol=1e-6
+        )
+
     def test_forget_gate_keeps_state(self):
         """With zero input and saturated forget gate, cell state persists."""
         b, h, w, f = 1, 4, 4, 2

@@ -36,6 +36,7 @@ TINY_OVERRIDES = {
 SMALL_MODEL = [
     "data.num_sequences=32", "train.log_every=10",
     "optim.lr=3e-3", "train.data_parallel=false",
+    "model.dtype=float32",  # bf16 emulation is slow on the CPU harness
 ]
 NARROW = {
     "seq_vae": {"enc_channels": (4, 8), "lstm_features": 8},
