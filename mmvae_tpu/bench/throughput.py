@@ -42,12 +42,17 @@ def run_benchmark(
     device_mesh = pmesh.make_mesh()
     n_dev = device_mesh.size
     use_dp = (data_parallel if data_parallel is not None else cfg.train.data_parallel) and n_dev > 1
+    # Measure the production path: device-resident uint8 dataset, per-step
+    # on-device batch gather (see train.loop — zero steady-state host traffic).
+    resident_batch = cfg.data.batch_size // (n_dev if use_dp else 1)
     if use_dp:
         inner = make_train_step(
             model,
             binarize=cfg.data.binarize,
             use_pallas=cfg.train.use_pallas,
             axis_name=pmesh.DATA_AXIS,
+            resident_batch=resident_batch,
+            per_frame=cfg.data.per_frame,
         )
         step_fn = pmesh.dp_step(inner, device_mesh)
         batch_sharding = pmesh.batch_sharding(device_mesh)
@@ -55,13 +60,20 @@ def run_benchmark(
     else:
         step_fn = jax.jit(
             make_train_step(
-                model, binarize=cfg.data.binarize, use_pallas=cfg.train.use_pallas
+                model,
+                binarize=cfg.data.binarize,
+                use_pallas=cfg.train.use_pallas,
+                resident_batch=resident_batch,
+                per_frame=cfg.data.per_frame,
             ),
             donate_argnums=(0,),
         )
         batch_sharding = None
 
-    batch = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
+    n_clips = max(256, cfg.data.batch_size)
+    n_clips -= n_clips % n_dev
+    data_shape = (n_clips, max(cfg.data.seq_len, 1), 64, 64)
+    batch = np.random.default_rng(0).integers(0, 256, data_shape, dtype=np.uint8)
     batch = (
         jax.device_put(batch, batch_sharding)
         if batch_sharding is not None

@@ -20,6 +20,8 @@ class DataConfig:
     batch_size: int = 64                # clips (sequence models) or frames (per-frame)
     per_frame: bool = False             # True: feed single frames (configs 1-2)
     binarize: bool = True               # stochastic Bernoulli binarization
+    device_resident: Optional[bool] = None  # dataset lives in HBM; None = auto
+    device_resident_max_bytes: int = 4 << 30  # auto threshold
     train_fraction: float = 0.9
     prefetch_depth: int = 2
     seed: int = 0
@@ -54,6 +56,7 @@ class TrainConfig:
     metrics_csv: Optional[str] = None
     tensorboard_dir: Optional[str] = None
     eval_batches: int = 4               # val batches per eval pass
+    multihost: bool = False             # jax.distributed.initialize() at startup
 
 
 @dataclasses.dataclass

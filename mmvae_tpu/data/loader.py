@@ -92,15 +92,18 @@ def generate_moving_mnist(
     speed = rng.uniform(2.0, 4.5, size=(num_sequences, num_digits))
     vel = np.stack([np.cos(theta), np.sin(theta)], axis=-1) * speed[..., None]
 
+    # Vectorized sprite placement: per (t, digit), one fancy-indexed add over
+    # the whole batch (each sequence writes a disjoint 16x16 region, so plain
+    # += is race-free within a call).
+    seq_idx = np.arange(num_sequences)[:, None, None]
+    win = np.arange(sprite_size)
     for t in range(seq_len):
         for d in range(num_digits):
-            ys = pos[:, d, 0].astype(np.int32)
-            xs = pos[:, d, 1].astype(np.int32)
-            for n in range(num_sequences):
-                y, x = ys[n], xs[n]
-                out[n, t, y : y + sprite_size, x : x + sprite_size] += sprites[
-                    digits[n, d]
-                ]
+            ys = pos[:, d, 0].astype(np.int64)
+            xs = pos[:, d, 1].astype(np.int64)
+            rows = ys[:, None, None] + win[None, :, None]  # (N, 16, 1)
+            cols = xs[:, None, None] + win[None, None, :]  # (N, 1, 16)
+            out[seq_idx, t, rows, cols] += sprites[digits[:, d]]
         pos += vel
         # Elastic bounce: reflect position and flip velocity where out of range.
         for ax in range(2):

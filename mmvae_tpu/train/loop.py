@@ -92,21 +92,44 @@ def make_train_step(
     binarize: bool = True,
     use_pallas: Optional[bool] = None,
     axis_name: Optional[str] = None,
+    resident_batch: Optional[int] = None,
+    per_frame: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Metrics]]:
-    """Build step(state, batch_u8) -> (state, metrics).
+    """Build step(state, batch_u8_or_dataset) -> (state, metrics).
 
     With `axis_name` set, the step is written to run INSIDE shard_map: the
     per-shard seed folds in the mesh position (decorrelated sampling/binarize
     across shards) and grads/metrics are `pmean`'d over the axis.
+
+    With `resident_batch` set, the second argument is the ENTIRE device-
+    resident uint8 dataset (clips on dim 0) and the step draws its batch
+    on-device (uniform with replacement) — zero host->device traffic in steady
+    state.  Moving MNIST is ~0.8 GB (far under HBM), so this is the default
+    training mode on TPU; host streaming remains for datasets that don't fit.
     """
     loss_fn = make_loss_fn(model, binarize=binarize, use_pallas=use_pallas)
 
-    def step(state: TrainState, batch_u8: jax.Array):
+    def step(state: TrainState, data_u8: jax.Array):
         # int32 LCG-style mix of the step counter (wraparound is fine for seeds)
         seed = state.step.astype(jnp.int32) * jnp.int32(1103515245) + jnp.int32(12345)
         if axis_name is not None:
             idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
             seed = seed + idx * jnp.int32(1000003)
+        if resident_batch is not None:
+            key = jax.random.PRNGKey(seed)
+            clip_idx = jax.random.randint(
+                key, (resident_batch,), 0, data_u8.shape[0]
+            )
+            if per_frame:
+                t_idx = jax.random.randint(
+                    jax.random.fold_in(key, 1),
+                    (resident_batch,), 0, data_u8.shape[1],
+                )
+                batch_u8 = data_u8[clip_idx, t_idx]  # (B, H, W) frame gather
+            else:
+                batch_u8 = jnp.take(data_u8, clip_idx, axis=0)  # (B, T, H, W)
+        else:
+            batch_u8 = data_u8
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch_u8, seed
         )
@@ -148,6 +171,10 @@ def _sample_shape(cfg) -> tuple:
 def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     """Epoch driver (SURVEY.md call stack 3.1, 'new framework' column)."""
     steps = max_steps or cfg.train.steps
+    if cfg.train.multihost and jax.process_count() == 1:
+        # Multi-host DCN runtime (SURVEY.md 3.4): the only multi-process
+        # touchpoint; coordinator/address auto-detected on TPU pods.
+        jax.distributed.initialize()
     model = build_model(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
 
@@ -171,12 +198,32 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     device_mesh = pmesh.make_mesh()
     n_dev = device_mesh.size
     use_dp = cfg.train.data_parallel and n_dev > 1
+
+    # Device-resident data path: upload the whole uint8 dataset to HBM once
+    # and gather each batch on-device.  Moving MNIST (10k x 20 x 64 x 64 u8
+    # = 0.8 GB) fits easily; steady-state host->device traffic drops to zero
+    # (the streaming feed measured tunnel/PCIe-bound on this dev box).
+    resident = cfg.data.device_resident
+    if resident is None:
+        resident = (
+            jax.default_backend() == "tpu"
+            and dataset.split_data.nbytes <= cfg.data.device_resident_max_bytes
+        )
+    resident_batch = cfg.data.batch_size
+    if resident and use_dp:
+        resident_batch = cfg.data.batch_size // n_dev
+        assert resident_batch * n_dev == cfg.data.batch_size, (
+            "batch_size must divide the device count in resident DP mode"
+        )
+
     if use_dp:
         inner = make_train_step(
             model,
             binarize=cfg.data.binarize,
             use_pallas=cfg.train.use_pallas,
             axis_name=pmesh.DATA_AXIS,
+            resident_batch=resident_batch if resident else None,
+            per_frame=cfg.data.per_frame,
         )
         train_step = pmesh.dp_step(inner, device_mesh)
         sharding = pmesh.batch_sharding(device_mesh)
@@ -184,17 +231,30 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     else:
         train_step = jax.jit(
             make_train_step(
-                model, binarize=cfg.data.binarize, use_pallas=cfg.train.use_pallas
+                model,
+                binarize=cfg.data.binarize,
+                use_pallas=cfg.train.use_pallas,
+                resident_batch=resident_batch if resident else None,
+                per_frame=cfg.data.per_frame,
             ),
             donate_argnums=(0,),
         )
         sharding = None
 
-    host_iter = (
-        dataset.frame_batches(cfg.data.batch_size, seed=cfg.data.seed)
-        if cfg.data.per_frame
-        else dataset.batches(cfg.data.batch_size, seed=cfg.data.seed)
-    )
+    if resident:
+        rows = dataset.split_data
+        if use_dp and rows.shape[0] % n_dev:
+            rows = rows[: rows.shape[0] - rows.shape[0] % n_dev]
+        data_dev = jax.device_put(
+            np.ascontiguousarray(rows), sharding
+        )
+        host_iter = None
+    else:
+        host_iter = (
+            dataset.frame_batches(cfg.data.batch_size, seed=cfg.data.seed)
+            if cfg.data.per_frame
+            else dataset.batches(cfg.data.batch_size, seed=cfg.data.seed)
+        )
 
     # Validation split + jitted eval step (reference's test(epoch) analog).
     val_dataset = load_or_generate(
@@ -261,11 +321,18 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
             )
         )
 
-    with DeviceFeed(host_iter, sharding=sharding, depth=cfg.data.prefetch_depth) as feed:
+    import contextlib
+
+    feed_ctx = (
+        DeviceFeed(host_iter, sharding=sharding, depth=cfg.data.prefetch_depth)
+        if host_iter is not None
+        else contextlib.nullcontext()
+    )
+    with feed_ctx as feed:
         pending = None  # (step_idx, metrics) fetched one interval late
         val_metrics: dict = {}
         for i in range(start_step, steps):
-            batch = next(feed)
+            batch = data_dev if host_iter is None else next(feed)
             state, metrics = train_step(state, batch)
             latest["state"], latest["step"] = state, i + 1
             if (i + 1) % cfg.train.log_every == 0 or i + 1 == steps:
@@ -281,7 +348,13 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
             ):
                 ckpt.save(cfg.train.checkpoint_dir, state, i + 1)
         if pending is not None:
-            history.append(logger.log(pending[0], {**pending[1], **val_metrics}))
+            # Final fetch happens right after dispatch — the wall-clock window
+            # does not cover the steps, so skip the throughput figure.
+            history.append(
+                logger.log(
+                    pending[0], {**pending[1], **val_metrics}, throughput=False
+                )
+            )
 
     if cfg.train.checkpoint_dir:
         ckpt.save(cfg.train.checkpoint_dir, state, steps, force=True)

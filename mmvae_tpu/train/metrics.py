@@ -37,10 +37,12 @@ class MetricsLogger:
 
             self._tb = SummaryWriter(tensorboard_dir)
 
-    def log(self, step: int, metrics: Dict[str, jax.Array]) -> Dict[str, float]:
+    def log(
+        self, step: int, metrics: Dict[str, jax.Array], *, throughput: bool = True
+    ) -> Dict[str, float]:
         vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
         now = time.perf_counter()
-        if self._last_step is not None and step > self._last_step:
+        if throughput and self._last_step is not None and step > self._last_step:
             dt = now - self._last_time
             steps_done = step - self._last_step
             vals["steps_per_sec"] = steps_done / dt

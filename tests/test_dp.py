@@ -100,6 +100,38 @@ class TestDP:
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
 
+    def test_dp_resident_gather(self, eight_devices):
+        """shard_map + device-resident dataset: each shard gathers locally."""
+        from mmvae_tpu.configs import get_config
+        from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape
+        from mmvae_tpu.train.state import create_train_state
+
+        cfg = get_config("mlp_vae")
+        cfg.data.batch_size = 16
+        cfg.model.kwargs.update({"latent_dim": 8, "hidden_dim": 32})
+        model = build_model(cfg)
+        state = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        )
+        mesh = pmesh.make_mesh(eight_devices)
+        step = pmesh.dp_step(
+            make_train_step(
+                model,
+                binarize=True,
+                axis_name=pmesh.DATA_AXIS,
+                resident_batch=2,  # 16 global / 8 devices
+                per_frame=True,
+            ),
+            mesh,
+            donate_state=False,
+        )
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        data = np.random.default_rng(0).integers(0, 256, (24, 4, 64, 64), np.uint8)
+        data = jax.device_put(data, pmesh.batch_sharding(mesh))
+        new_state, metrics = step(state, data)
+        assert np.isfinite(float(np.asarray(metrics["loss"])))
+        assert int(np.asarray(new_state.step)) == 1
+
     def test_two_dp_steps_decrease_loss(self, eight_devices):
         from mmvae_tpu.configs import get_config
         from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape

@@ -1,0 +1,49 @@
+"""Golden-trace regression: fixed-seed short loss traces per config.
+
+SURVEY.md 4.2 "Golden / regression".  Each contract config trains 12 steps on
+deterministic tiny data (CPU backend, f32, XLA sampler) and the loss trace is
+compared against the committed golden JSON to rtol=2e-3 (refactor guard, not
+bit-exactness — XLA CPU codegen may drift slightly across versions).
+
+Regenerate after an intentional numerics change:
+    MMVAE_REGEN_GOLDEN=1 python -m pytest tests/test_golden.py -q
+"""
+
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN_PATH = pathlib.Path(__file__).parent / "golden_traces.json"
+
+CONFIGS = ["mlp_vae", "conv_vae", "seq_vae", "pred_vae", "hier_vae"]
+
+
+def _trace(name):
+    from tests.test_train_smoke import _tiny_config
+    from mmvae_tpu.train.loop import fit
+
+    cfg = _tiny_config(name)
+    cfg.train.steps = 12
+    cfg.train.log_every = 3
+    cfg.train.eval_every = 0
+    cfg.train.use_pallas = False  # deterministic XLA sampler on CPU
+    _, history = fit(cfg)
+    return [round(h["loss"], 4) for h in history]
+
+
+@pytest.mark.parametrize("name", CONFIGS)
+def test_golden_trace(name):
+    trace = _trace(name)
+    if os.environ.get("MMVAE_REGEN_GOLDEN"):
+        data = json.loads(GOLDEN_PATH.read_text()) if GOLDEN_PATH.exists() else {}
+        data[name] = trace
+        GOLDEN_PATH.write_text(json.dumps(data, indent=1, sort_keys=True))
+        pytest.skip(f"regenerated golden for {name}")
+    if not GOLDEN_PATH.exists():
+        pytest.skip("no golden file; run with MMVAE_REGEN_GOLDEN=1")
+    golden = json.loads(GOLDEN_PATH.read_text())
+    assert name in golden, f"no golden trace for {name}; regenerate"
+    np.testing.assert_allclose(trace, golden[name], rtol=2e-3)

@@ -1,0 +1,42 @@
+"""MetricsLogger: formatting, CSV schema, throughput accounting."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mmvae_tpu.train.metrics import MetricsLogger
+
+
+class TestMetricsLogger:
+    def test_stdout_and_values(self):
+        lines = []
+        lg = MetricsLogger(print_fn=lines.append, frames_per_step=100)
+        v1 = lg.log(10, {"loss": jnp.float32(5.5), "bce": jnp.float32(5.0), "kl": jnp.float32(0.5)})
+        v2 = lg.log(20, {"loss": jnp.float32(4.0), "bce": jnp.float32(3.5), "kl": jnp.float32(0.5)})
+        assert v1["loss"] == 5.5 and "frames_per_sec" not in v1
+        assert v2["frames_per_sec"] > 0  # 10 steps x 100 frames / elapsed
+        assert "step      10" in lines[0] and "loss 5.50" in lines[0]
+
+    def test_throughput_suppressed(self):
+        lg = MetricsLogger(print_fn=lambda s: None, frames_per_step=100)
+        lg.log(10, {"loss": jnp.float32(1.0)})
+        v = lg.log(20, {"loss": jnp.float32(1.0)}, throughput=False)
+        assert "frames_per_sec" not in v
+
+    def test_csv_schema_and_val_columns(self, tmp_path):
+        p = tmp_path / "m.csv"
+        lg = MetricsLogger(csv_path=str(p), print_fn=lambda s: None)
+        lg.log(5, {"loss": jnp.float32(2.0), "val_loss": 1.5})
+        lg.close()
+        rows = p.read_text().strip().splitlines()
+        header = rows[0].split(",")
+        assert "val_loss" in header and "loss" in header
+        vals = dict(zip(header, rows[1].split(",")))
+        assert float(vals["val_loss"]) == 1.5
+
+    def test_extra_keys_ignored_in_csv(self, tmp_path):
+        p = tmp_path / "m.csv"
+        lg = MetricsLogger(csv_path=str(p), print_fn=lambda s: None)
+        lg.log(1, {"loss": jnp.float32(1.0), "weird_metric": 9.0})
+        lg.close()
+        assert "weird_metric" not in p.read_text()

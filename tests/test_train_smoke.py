@@ -67,6 +67,31 @@ def test_train_decreases_loss(name):
     assert int(np.asarray(state.step)) == 30
 
 
+def test_device_resident_training_decreases_loss():
+    """On-device batch gather path (HBM-resident dataset)."""
+    from mmvae_tpu.train.loop import fit
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.data.device_resident = True
+    cfg.train.steps = 30
+    cfg.train.log_every = 5
+    _, history = fit(cfg)
+    losses = [h["loss"] for h in history]
+    assert losses[-1] < losses[0]
+
+
+def test_device_resident_per_clip():
+    from mmvae_tpu.train.loop import fit
+
+    cfg = _tiny_config("seq_vae")
+    cfg.data.device_resident = True
+    cfg.train.steps = 20
+    cfg.train.log_every = 5
+    _, history = fit(cfg)
+    losses = [h["loss"] for h in history]
+    assert losses[-1] < losses[0]
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mmvae_tpu.train import checkpoint as ckpt
     from mmvae_tpu.train.loop import build_model, fit, _sample_shape
