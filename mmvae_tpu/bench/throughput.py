@@ -29,6 +29,7 @@ def run_benchmark(
     steps: int = 200,
     warmup: int = 20,
     data_parallel: Optional[bool] = None,
+    profile_dir: Optional[str] = None,
 ) -> Dict:
     from mmvae_tpu.parallel import mesh as pmesh
     from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape
@@ -86,6 +87,15 @@ def run_benchmark(
     # drain (block_until_ready alone showed a first-window artifact on the
     # axon-tunneled chip).
     float(np.asarray(metrics["loss"]))
+
+    if profile_dir:
+        # One profiled window for TensorBoard/Perfetto op-level analysis.
+        from mmvae_tpu.utils.profiling import trace
+
+        with trace(profile_dir):
+            for _ in range(min(steps, 20)):
+                state, metrics = step_fn(state, batch)
+            float(np.asarray(metrics["loss"]))
 
     windows = []
     for _rep in range(3):

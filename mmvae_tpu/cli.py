@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     _add_common(p_bench)
     p_bench.add_argument("--steps", type=int, default=200)
     p_bench.add_argument("--warmup", type=int, default=20)
+    p_bench.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="dump a jax.profiler trace of 20 steps to DIR (TensorBoard Profile tab)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -65,7 +69,9 @@ def main(argv=None) -> int:
     if args.cmd == "bench":
         from mmvae_tpu.bench.throughput import run_benchmark
 
-        result = run_benchmark(cfg, steps=args.steps, warmup=args.warmup)
+        result = run_benchmark(
+            cfg, steps=args.steps, warmup=args.warmup, profile_dir=args.profile
+        )
         print(json.dumps(result))
         return 0
 

@@ -40,6 +40,8 @@ class OptimConfig:
     b1: float = 0.9
     b2: float = 0.999
     grad_clip: Optional[float] = None   # global-norm clip; None = off
+    beta: float = 1.0                   # KL weight (beta-VAE); 1.0 = plain ELBO
+    kl_warmup_steps: int = 0            # linear beta ramp 0 -> beta over N steps
 
 
 @dataclasses.dataclass
@@ -57,6 +59,7 @@ class TrainConfig:
     tensorboard_dir: Optional[str] = None
     eval_batches: int = 4               # val batches per eval pass
     multihost: bool = False             # jax.distributed.initialize() at startup
+    debug_nans: bool = False            # jax_debug_nans guard around training
 
 
 @dataclasses.dataclass

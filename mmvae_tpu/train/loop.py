@@ -49,13 +49,15 @@ def _make_sample_fn(seed: jax.Array, use_pallas: Optional[bool]):
 
 
 def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
-    """loss_fn(params, batch_u8, seed) -> (loss/sample, metrics).
+    """loss_fn(params, batch_u8, seed, beta=1.0) -> (loss/sample, metrics).
 
     Loss convention matches the reference (SURVEY.md section 5 metrics note):
     BCE reduction='sum' + KL sum, divided by batch size -> sum-per-sample.
+    `beta` scales the KL term (beta-VAE / KL-warmup); metrics always report
+    the UNSCALED bce and kl so curves stay comparable across beta schedules.
     """
 
-    def loss_fn(params, batch_u8, seed):
+    def loss_fn(params, batch_u8, seed, beta=1.0):
         pallas = use_pallas or (use_pallas is None and jax.default_backend() == "tpu")
         if pallas and batch_u8.size % 128 == 0:
             # fused u8->f32 normalize(+Bernoulli binarize) with on-core PRNG
@@ -75,9 +77,9 @@ def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
         )
         b = out.mu.shape[0]
         kl_total = kl + out.extra_kl
-        loss = (bce + kl_total) / b
+        loss = (bce + beta * kl_total) / b
         metrics = {
-            "loss": loss,
+            "loss": (bce + kl_total) / b,  # plain ELBO for curve comparability
             "bce": bce / b,
             "kl": kl_total / b,
         }
@@ -94,6 +96,8 @@ def make_train_step(
     axis_name: Optional[str] = None,
     resident_batch: Optional[int] = None,
     per_frame: bool = False,
+    beta: float = 1.0,
+    kl_warmup_steps: int = 0,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Metrics]]:
     """Build step(state, batch_u8_or_dataset) -> (state, metrics).
 
@@ -130,8 +134,13 @@ def make_train_step(
                 batch_u8 = jnp.take(data_u8, clip_idx, axis=0)  # (B, T, H, W)
         else:
             batch_u8 = data_u8
+        beta_t = jnp.float32(beta)
+        if kl_warmup_steps > 0:
+            beta_t = beta_t * jnp.minimum(
+                1.0, state.step.astype(jnp.float32) / kl_warmup_steps
+            )
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch_u8, seed
+            state.params, batch_u8, seed, beta_t
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)  # ICI collective
@@ -216,28 +225,22 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
             "batch_size must divide the device count in resident DP mode"
         )
 
+    step_kwargs = dict(
+        binarize=cfg.data.binarize,
+        use_pallas=cfg.train.use_pallas,
+        resident_batch=resident_batch if resident else None,
+        per_frame=cfg.data.per_frame,
+        beta=cfg.optim.beta,
+        kl_warmup_steps=cfg.optim.kl_warmup_steps,
+    )
     if use_dp:
-        inner = make_train_step(
-            model,
-            binarize=cfg.data.binarize,
-            use_pallas=cfg.train.use_pallas,
-            axis_name=pmesh.DATA_AXIS,
-            resident_batch=resident_batch if resident else None,
-            per_frame=cfg.data.per_frame,
-        )
+        inner = make_train_step(model, axis_name=pmesh.DATA_AXIS, **step_kwargs)
         train_step = pmesh.dp_step(inner, device_mesh)
         sharding = pmesh.batch_sharding(device_mesh)
         state = jax.device_put(state, pmesh.replicated_sharding(device_mesh))
     else:
         train_step = jax.jit(
-            make_train_step(
-                model,
-                binarize=cfg.data.binarize,
-                use_pallas=cfg.train.use_pallas,
-                resident_batch=resident_batch if resident else None,
-                per_frame=cfg.data.per_frame,
-            ),
-            donate_argnums=(0,),
+            make_train_step(model, **step_kwargs), donate_argnums=(0,)
         )
         sharding = None
 
@@ -322,6 +325,9 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         )
 
     import contextlib
+
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     feed_ctx = (
         DeviceFeed(host_iter, sharding=sharding, depth=cfg.data.prefetch_depth)
