@@ -10,7 +10,6 @@ every `log_every` steps.
 
 from __future__ import annotations
 
-import time
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -180,10 +179,15 @@ def _sample_shape(cfg) -> tuple:
 def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     """Epoch driver (SURVEY.md call stack 3.1, 'new framework' column)."""
     steps = max_steps or cfg.train.steps
-    if cfg.train.multihost and jax.process_count() == 1:
+    if cfg.train.multihost:
         # Multi-host DCN runtime (SURVEY.md 3.4): the only multi-process
-        # touchpoint; coordinator/address auto-detected on TPU pods.
-        jax.distributed.initialize()
+        # touchpoint; coordinator/address auto-detected on TPU pods.  Must run
+        # before any backend-initializing call (so no process_count() guard);
+        # tolerate already-initialized runtimes.
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-process or already initialized
+            print(f"multihost init skipped: {e}")
     model = build_model(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
 

@@ -72,6 +72,87 @@ class TestELBOvsTorch:
         np.testing.assert_allclose(np.asarray(j_z), t_z, atol=1e-6)
 
 
+class TestTrainingCurveParity:
+    """End-to-end curve parity: the SAME MLP VAE trained in JAX/optax and in
+    torch (reference formulas + torch.optim.Adam) from identical weights, on
+    identical data, with identical eps draws, must produce matching loss
+    curves.  This is the operational meaning of 'ELBO parity vs reference'
+    (SURVEY.md section 6): the reference code is unrecoverable, so torch-CPU
+    implementing the canonical equations stands in for it.
+    """
+
+    def test_mlp_vae_loss_curve_matches(self, rng):
+        import optax
+
+        from mmvae_tpu.models import MLPVAE
+        from mmvae_tpu.ops.elbo_ref import elbo_parts_ref
+
+        B, H, L, D, steps = 16, 32, 8, 4096, 25
+        lr = 1e-3
+
+        x_np = (rng.uniform(size=(steps, B, 64, 64)) < 0.4).astype(np.float32)
+        eps_np = rng.normal(size=(steps, B, L)).astype(np.float32)
+
+        # --- JAX side -----------------------------------------------------
+        model = MLPVAE(latent_dim=L, hidden_dim=H)
+        params = model.init(
+            jax.random.key(0), jnp.asarray(x_np[0]), lambda m, v, salt=0: m
+        )
+        p = params["params"]
+
+        # --- torch side: same weights (flax Dense kernel == W^T in torch) --
+        tl = {}
+        for name in ("enc_fc", "enc_mu", "enc_logvar", "dec_fc", "dec_out"):
+            w = torch.from_numpy(np.asarray(p[name]["kernel"])).clone()
+            b = torch.from_numpy(np.asarray(p[name]["bias"])).clone()
+            lin = torch.nn.Linear(w.shape[0], w.shape[1])
+            with torch.no_grad():
+                lin.weight.copy_(w.T)
+                lin.bias.copy_(b)
+            tl[name] = lin
+        t_params = [q for lin in tl.values() for q in lin.parameters()]
+        t_opt = torch.optim.Adam(t_params, lr=lr)
+
+        def torch_loss(x, eps):
+            flat = x.reshape(B, -1)
+            h = torch.relu(tl["enc_fc"](flat))
+            mu, logvar = tl["enc_mu"](h), tl["enc_logvar"](h)
+            z = mu + torch.exp(0.5 * logvar) * eps
+            out = tl["dec_out"](torch.relu(tl["dec_fc"](z)))
+            bce = F.binary_cross_entropy_with_logits(out, flat, reduction="sum")
+            kl = -0.5 * torch.sum(1 + logvar - mu.pow(2) - logvar.exp())
+            return (bce + kl) / B
+
+        # --- JAX train loop with injected eps ------------------------------
+        tx = optax.adam(lr)
+        opt_state = tx.init(params)
+
+        def jax_loss(prm, x, eps):
+            out = model.apply(prm, x, lambda m, v, salt=0: m + jnp.exp(0.5 * v) * eps)
+            bce, kl = elbo_parts_ref(out.logits, out.target, out.mu, out.logvar)
+            return (bce + kl) / B
+
+        jax_losses, torch_losses = [], []
+        jit_grad = jax.jit(jax.value_and_grad(jax_loss))
+        for s in range(steps):
+            x_j = jnp.asarray(x_np[s])
+            e_j = jnp.asarray(eps_np[s])
+            lval, grads = jit_grad(params, x_j, e_j)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            jax_losses.append(float(lval))
+
+            t_opt.zero_grad()
+            tloss = torch_loss(
+                torch.from_numpy(x_np[s]), torch.from_numpy(eps_np[s])
+            )
+            tloss.backward()
+            t_opt.step()
+            torch_losses.append(float(tloss))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3)
+
+
 class TestConvLSTMvsTorch:
     def test_cell_step(self, rng):
         """One ConvLSTM step vs a torch implementation of the same equations.
