@@ -217,7 +217,8 @@ class TestHierSpecifics:
     def test_gaussian_kl_zero_when_equal(self):
         mu = jnp.ones((3, 4))
         lv = jnp.full((3, 4), -0.5)
-        assert abs(float(gaussian_kl(mu, lv, mu, lv))) < 1e-6
+        # 1e-4: TPU exp/log transcendentals differ from CPU in the last ulps
+        assert abs(float(gaussian_kl(mu, lv, mu, lv))) < 1e-4
 
     def test_gaussian_kl_matches_standard_form(self, rng):
         """vs p = N(0, I) it must equal the classic VAE KL."""
