@@ -45,6 +45,11 @@ def run_benchmark(
     use_dp = (data_parallel if data_parallel is not None else cfg.train.data_parallel) and n_dev > 1
     # Measure the production path: device-resident uint8 dataset, per-step
     # on-device batch gather (see train.loop — zero steady-state host traffic).
+    if use_dp and cfg.data.batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {cfg.data.batch_size} must divide n_devices {n_dev}: "
+            "the reported frames/step would overstate the judged metric"
+        )
     resident_batch = cfg.data.batch_size // (n_dev if use_dp else 1)
     if use_dp:
         inner = make_train_step(

@@ -93,7 +93,7 @@ def _sample(cfg, args) -> int:
     template = create_train_state(
         model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
     )
-    state, step = ckpt.restore_latest(args.ckpt, template)
+    state, step, _data_step = ckpt.restore_latest(args.ckpt, template)
     if step == 0:
         print(f"warning: no checkpoint found in {args.ckpt}; using init params",
               file=sys.stderr)

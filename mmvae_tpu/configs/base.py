@@ -60,6 +60,8 @@ class TrainConfig:
     eval_batches: int = 4               # val batches per eval pass
     multihost: bool = False             # jax.distributed.initialize() at startup
     debug_nans: bool = False            # jax_debug_nans guard around training
+    transfer_guard: bool = False        # disallow implicit host<->device syncs
+                                        # around every train step (hazard guard)
 
 
 @dataclasses.dataclass
@@ -83,9 +85,22 @@ class Config:
             setattr(obj, leaf, _coerce(value, getattr(obj, leaf)))
 
 
+_TRUTHY = ("true", "1", "yes", "on")
+_FALSY = ("false", "0", "no", "off")
+
+
 def _coerce(value: str, current: Any) -> Any:
     if isinstance(current, bool) or value.lower() in ("true", "false"):
-        return value.lower() == "true"
+        v = value.lower()
+        if v in _TRUTHY:
+            return True
+        if v in _FALSY:
+            return False
+        if v in ("none", "null") and not isinstance(current, bool):
+            return None
+        raise ValueError(
+            f"cannot coerce {value!r} to bool (use one of {_TRUTHY + _FALSY})"
+        )
     if value.lower() in ("none", "null"):
         return None
     if isinstance(current, int) and not isinstance(current, bool):

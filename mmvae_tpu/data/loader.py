@@ -167,8 +167,15 @@ class MovingMNIST:
         seed: int = 0,
         num_epochs: Optional[int] = None,
         drop_remainder: bool = True,
+        skip_batches: int = 0,
     ) -> Iterator[np.ndarray]:
-        """Yield shuffled (batch_size, T, H, W) uint8 batches, reshuffled each epoch."""
+        """Yield shuffled (batch_size, T, H, W) uint8 batches, reshuffled each epoch.
+
+        `skip_batches` fast-forwards the (deterministic, seeded) stream past
+        the first N batches without copying data — the resume path: a run
+        restored at step N continues on the batches an uninterrupted run would
+        have consumed (see train.checkpoint data-cursor note).
+        """
         n = len(self)
         if n < batch_size and drop_remainder:
             raise ValueError(f"dataset ({n}) smaller than batch ({batch_size})")
@@ -177,6 +184,9 @@ class MovingMNIST:
         while num_epochs is None or epoch < num_epochs:
             perm = rng.permutation(n)
             for i in range(0, n - batch_size + 1, batch_size):
+                if skip_batches > 0:
+                    skip_batches -= 1
+                    continue
                 yield np.ascontiguousarray(self.split_data[perm[i : i + batch_size]])
             epoch += 1
 
@@ -186,11 +196,13 @@ class MovingMNIST:
         *,
         seed: int = 0,
         num_epochs: Optional[int] = None,
+        skip_batches: int = 0,
     ) -> Iterator[np.ndarray]:
         """Yield (batch_size, H, W) uint8 batches of individual frames.
 
         For the per-frame models (configs 1-2: "single 64x64 frames").  Each
         epoch is one shuffled pass over every (sequence, t) frame.
+        `skip_batches` as in `batches`.
         """
         n, t = self.split_data.shape[:2]
         total = n * t
@@ -200,6 +212,9 @@ class MovingMNIST:
         while num_epochs is None or epoch < num_epochs:
             perm = rng.permutation(total)
             for i in range(0, total - batch_size + 1, batch_size):
+                if skip_batches > 0:
+                    skip_batches -= 1
+                    continue
                 yield np.ascontiguousarray(flat[perm[i : i + batch_size]])
             epoch += 1
 

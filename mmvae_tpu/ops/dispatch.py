@@ -13,10 +13,34 @@ import jax.numpy as jnp
 
 from mmvae_tpu.ops import elbo_ref
 from mmvae_tpu.ops import elbo_pallas
+from mmvae_tpu.ops import seeds
 
 
 def _auto() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def make_sample_fn(seed: jax.Array, use_pallas: Optional[bool] = None):
+    """Build `sample_fn(mu, logvar, salt=0) -> z` for one train/eval step.
+
+    The single place that derives sampling randomness from the step seed
+    (models receive this injected; see models.base.SampleFn).  On the Pallas
+    path the on-core PRNG is seeded from the dedicated REPARAM stream
+    (ops.seeds — disjoint from the preprocess stream); off-TPU the threefry
+    key space is independent by construction.
+    """
+    if use_pallas is None:
+        use_pallas = _auto()
+
+    def sample_fn(mu, logvar, salt=0):
+        if use_pallas:
+            return elbo_pallas.reparameterize_pallas(
+                mu, logvar, seeds.stream_seed(seed, seeds.STREAM_REPARAM, salt)
+            )
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), salt)
+        return elbo_ref.reparameterize_ref(key, mu, logvar)
+
+    return sample_fn
 
 
 def elbo_parts(
@@ -47,6 +71,7 @@ def reparameterize(
     if use_pallas is None:
         use_pallas = _auto()
     if use_pallas:
-        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        raw = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        seed = seeds.stream_seed(raw, seeds.STREAM_REPARAM)
         return elbo_pallas.reparameterize_pallas(mu, logvar, seed)
     return elbo_ref.reparameterize_ref(rng, mu, logvar)

@@ -34,7 +34,9 @@ _BLOCK_COLS = 512
 def _kernel(seed_ref, u8_ref, out_ref, *, binarize):
     i = pl.program_id(0)
     if binarize:
-        pltpu.prng_seed(seed_ref[0] + i)
+        # Two-word seed: prng_seed hashes (stream seed, block index) so block
+        # offsets can never carry into another stream's seed space (ops.seeds).
+        pltpu.prng_seed(seed_ref[0], i)
         bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.int32)
         # 24 high bits -> uniform integer in [0, 2^24); threshold at
         # u8 * 2^24 / 255 gives P(on) = u8/255 exactly (up to integer floor).

@@ -52,14 +52,12 @@ def dp_step(
     pmean sits between `jax.grad` and the optax update).  This wrapper supplies
     the mesh/partitioning: state replicated, batch split on dim 0.
     """
-    from jax.experimental.shard_map import shard_map
-
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step_fn,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     donate = (0,) if donate_state else ()
     return jax.jit(sharded, donate_argnums=donate)

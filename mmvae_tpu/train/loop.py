@@ -29,24 +29,6 @@ from mmvae_tpu.train.state import TrainState, create_train_state
 Metrics = Dict[str, jax.Array]
 
 
-def _make_sample_fn(seed: jax.Array, use_pallas: Optional[bool]):
-    """sample_fn(mu, logvar, salt) -> z; fresh stream per (seed, salt)."""
-
-    def sample_fn(mu, logvar, salt=0):
-        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu"):
-            from mmvae_tpu.ops.elbo_pallas import reparameterize_pallas
-
-            return reparameterize_pallas(
-                mu, logvar, (seed * 8 + salt + 1).astype(jnp.int32)
-            )
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), salt)
-        from mmvae_tpu.ops.elbo_ref import reparameterize_ref
-
-        return reparameterize_ref(key, mu, logvar)
-
-    return sample_fn
-
-
 def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
     """loss_fn(params, batch_u8, seed, beta=1.0) -> (loss/sample, metrics).
 
@@ -61,16 +43,17 @@ def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
         if pallas and batch_u8.size % 128 == 0:
             # fused u8->f32 normalize(+Bernoulli binarize) with on-core PRNG
             from mmvae_tpu.ops.preprocess_pallas import preprocess_pallas
+            from mmvae_tpu.ops.seeds import STREAM_PREPROCESS, stream_seed
 
             x = preprocess_pallas(
-                batch_u8, seed * 4 + 2, binarize=binarize
+                batch_u8, stream_seed(seed, STREAM_PREPROCESS), binarize=binarize
             )
         else:
             key = jax.random.PRNGKey(seed)
             x = transforms.preprocess(
                 batch_u8, rng=jax.random.fold_in(key, 7) if binarize else None
             )
-        out = model.apply(params, x, _make_sample_fn(seed, use_pallas))
+        out = model.apply(params, x, ops.make_sample_fn(seed, use_pallas))
         bce, kl = ops.elbo_parts(
             out.logits, out.target, out.mu, out.logvar, use_pallas=use_pallas
         )
@@ -205,8 +188,11 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     state = create_train_state(model, cfg.optim, rng, _sample_shape(cfg))
 
     start_step = 0
+    data_step = 0
     if cfg.train.resume and cfg.train.checkpoint_dir:
-        state, start_step = ckpt.restore_latest(cfg.train.checkpoint_dir, state)
+        state, start_step, data_step = ckpt.restore_latest(
+            cfg.train.checkpoint_dir, state
+        )
 
     device_mesh = pmesh.make_mesh()
     n_dev = device_mesh.size
@@ -249,18 +235,33 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         sharding = None
 
     if resident:
-        rows = dataset.split_data
-        if use_dp and rows.shape[0] % n_dev:
-            rows = rows[: rows.shape[0] - rows.shape[0] % n_dev]
-        data_dev = jax.device_put(
-            np.ascontiguousarray(rows), sharding
-        )
+        rows = dataset.split_data  # already a per-process disjoint slice (C1)
+        if jax.process_count() > 1 and use_dp:
+            # Multi-host: each process holds only ITS rows; assemble the
+            # global sharded array from the process-local slices (device_put
+            # would treat `rows` as the full global array and double-shard).
+            n_local = len(device_mesh.local_devices)
+            if rows.shape[0] % n_local:
+                rows = rows[: rows.shape[0] - rows.shape[0] % n_local]
+            data_dev = jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(rows)
+            )
+        else:
+            if use_dp and rows.shape[0] % n_dev:
+                rows = rows[: rows.shape[0] - rows.shape[0] % n_dev]
+            data_dev = jax.device_put(np.ascontiguousarray(rows), sharding)
         host_iter = None
     else:
+        # Fast-forward the seeded stream past batches a prior run consumed
+        # (data_step from the checkpoint), so resume == uninterrupted.
         host_iter = (
-            dataset.frame_batches(cfg.data.batch_size, seed=cfg.data.seed)
+            dataset.frame_batches(
+                cfg.data.batch_size, seed=cfg.data.seed, skip_batches=data_step
+            )
             if cfg.data.per_frame
-            else dataset.batches(cfg.data.batch_size, seed=cfg.data.seed)
+            else dataset.batches(
+                cfg.data.batch_size, seed=cfg.data.seed, skip_batches=data_step
+            )
         )
 
     # Validation split + jitted eval step (reference's test(epoch) analog).
@@ -314,6 +315,7 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         csv_path=cfg.train.metrics_csv,
         frames_per_step=frames_per_step,
         tensorboard_dir=cfg.train.tensorboard_dir,
+        append=cfg.train.resume and start_step > 0,
     )
     history = []
 
@@ -324,7 +326,12 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
 
         install_sigterm_checkpoint(
             lambda: ckpt.save(
-                cfg.train.checkpoint_dir, latest["state"], latest["step"], force=True
+                cfg.train.checkpoint_dir,
+                latest["state"],
+                latest["step"],
+                data_step=latest["step"],
+                force=True,
+                wait=True,
             )
         )
 
@@ -332,6 +339,18 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
 
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    if cfg.train.transfer_guard:
+        # Hazard sanitizer (SURVEY.md section 5 "race detection"): every step
+        # dispatch runs under a 'disallow' transfer guard, so any implicit
+        # host<->device sync sneaking into the hot loop raises instead of
+        # silently re-serializing it (the round-1 5.7x regression mode).
+        # Explicit transfers (feed device_put, deferred metric fetch) pass.
+        inner_step = train_step
+
+        def train_step(s, b):  # noqa: F811 - deliberate guarded rebind
+            with jax.transfer_guard("disallow"):
+                return inner_step(s, b)
 
     feed_ctx = (
         DeviceFeed(host_iter, sharding=sharding, depth=cfg.data.prefetch_depth)
@@ -356,7 +375,9 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
                 cfg.train.checkpoint_dir
                 and (i + 1) % cfg.train.checkpoint_every == 0
             ):
-                ckpt.save(cfg.train.checkpoint_dir, state, i + 1)
+                # Async: the write happens on orbax's background thread; one
+                # host batch == one step, so the data cursor is the step.
+                ckpt.save(cfg.train.checkpoint_dir, state, i + 1, data_step=i + 1)
         if pending is not None:
             # Final fetch happens right after dispatch — the wall-clock window
             # does not cover the steps, so skip the throughput figure.
@@ -367,6 +388,9 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
             )
 
     if cfg.train.checkpoint_dir:
-        ckpt.save(cfg.train.checkpoint_dir, state, steps, force=True)
+        ckpt.save(
+            cfg.train.checkpoint_dir, state, steps,
+            data_step=steps, force=True, wait=True,
+        )
     logger.close()
     return state, history

@@ -23,8 +23,10 @@ class MetricsLogger:
         frames_per_step: int = 0,
         print_fn=print,
         tensorboard_dir: Optional[str] = None,
+        append: bool = False,
     ):
         self._csv_path = csv_path
+        self._csv_append = append
         self._csv_file = None
         self._csv_writer = None
         self._frames_per_step = frames_per_step
@@ -61,7 +63,18 @@ class MetricsLogger:
 
         if self._csv_path:
             if self._csv_writer is None:
-                self._csv_file = open(self._csv_path, "w", newline="")
+                # Resumed runs append so the prior loss history (the curve-
+                # parity artifact) survives; fresh runs truncate.
+                import os
+
+                fresh = not (
+                    self._csv_append
+                    and os.path.exists(self._csv_path)
+                    and os.path.getsize(self._csv_path) > 0
+                )
+                self._csv_file = open(
+                    self._csv_path, "w" if fresh else "a", newline=""
+                )
                 self._csv_writer = csv.DictWriter(
                     self._csv_file,
                     fieldnames=[
@@ -71,7 +84,8 @@ class MetricsLogger:
                     ],
                     extrasaction="ignore",
                 )
-                self._csv_writer.writeheader()
+                if fresh:
+                    self._csv_writer.writeheader()
             row = {k: vals.get(k, "") for k in self._csv_writer.fieldnames}
             self._csv_writer.writerow(row)
             self._csv_file.flush()

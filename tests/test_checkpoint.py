@@ -1,0 +1,145 @@
+"""Checkpoint completeness (round-1 verdict item 3).
+
+- Resume == uninterrupted: a run checkpointed at step K and resumed consumes
+  the SAME host batches an uninterrupted run would have (data cursor saved +
+  seeded stream fast-forward), so final params match exactly.
+- Async save: the periodic path returns without waiting; restore after an
+  in-flight save still lands (restore waits for pending writes).
+- SIGTERM: a real signal delivered to a training subprocess forces a final
+  checkpoint before the default handler kills the process.
+"""
+
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from test_train_smoke import _tiny_config
+
+
+def _streaming(cfg):
+    cfg.data.device_resident = False  # host-streaming path: the cursor matters
+    return cfg
+
+
+class TestResumeDataCursor:
+    def test_skip_batches_fast_forward(self, tiny_dataset):
+        from mmvae_tpu.data.loader import MovingMNIST
+
+        ds = MovingMNIST(data=tiny_dataset)
+        full = [b.copy() for _, b in zip(range(6), ds.batches(8, seed=3))]
+        skipped = [
+            b.copy() for _, b in zip(range(4), ds.batches(8, seed=3, skip_batches=2))
+        ]
+        for a, b in zip(full[2:], skipped):
+            np.testing.assert_array_equal(a, b)
+        # and the resumed stream is NOT a restart (round-1 weakness: silent
+        # re-training on the same early batches)
+        assert not np.array_equal(full[0], skipped[0])
+
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        from mmvae_tpu.train.loop import fit
+
+        # Uninterrupted: 4 steps, no checkpointing.
+        cfg_a = _streaming(_tiny_config("mlp_vae"))
+        cfg_a.train.steps = 4
+        state_a, _ = fit(cfg_a)
+
+        # Interrupted: 2 steps (final save at step 2), then resume to 4.
+        cfg_b = _streaming(_tiny_config("mlp_vae"))
+        cfg_b.train.steps = 2
+        cfg_b.train.checkpoint_dir = str(tmp_path / "ck")
+        fit(cfg_b)
+        cfg_b.train.steps = 4
+        cfg_b.train.resume = True
+        state_b, _ = fit(cfg_b)
+
+        assert int(np.asarray(state_b.step)) == 4
+        for a, b in zip(
+            jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
+    def test_async_save_then_immediate_restore(self, tmp_path):
+        from mmvae_tpu.train import checkpoint as ckpt
+        from mmvae_tpu.train.loop import build_model, _sample_shape
+        from mmvae_tpu.train.state import create_train_state
+
+        import jax.numpy as jnp
+
+        cfg = _tiny_config("mlp_vae")
+        model = build_model(cfg)
+        state = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        )
+        state = state.replace(step=jnp.ones((), jnp.int32))
+        d = str(tmp_path / "ck")
+        ckpt.save(d, state, 1, data_step=1)  # async: returns immediately
+        restored, step, data_step = ckpt.restore_latest(d, state)
+        assert step == 1 and data_step == 1
+
+
+_SIGTERM_CHILD = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {test_dir!r})
+from test_train_smoke import _tiny_config
+from mmvae_tpu.train.loop import fit
+
+cfg = _tiny_config("mlp_vae")
+cfg.data.device_resident = False
+cfg.train.steps = 10**9          # never finishes: SIGTERM is the only exit
+cfg.train.log_every = 5
+cfg.train.checkpoint_every = 10**9
+cfg.train.checkpoint_dir = {ckdir!r}
+fit(cfg)
+"""
+
+
+class TestSigtermCheckpoint:
+    def test_sigterm_forces_checkpoint(self, tmp_path):
+        import os
+
+        ckdir = str(tmp_path / "ck")
+        code = _SIGTERM_CHILD.format(
+            test_dir=os.path.dirname(os.path.abspath(__file__)), ckdir=ckdir
+        )
+        proc = subprocess.Popen(
+            [sys.executable, "-u", "-c", code],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        try:
+            deadline = time.time() + 300
+            for line in proc.stdout:
+                if line.startswith("step"):
+                    break  # training is live
+                if time.time() > deadline:
+                    pytest.fail("child never reached a training step")
+            proc.send_signal(signal.SIGTERM)
+            rc = proc.wait(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert rc == -signal.SIGTERM  # handler re-raises the default action
+
+        from mmvae_tpu.train import checkpoint as ckpt
+        from mmvae_tpu.train.loop import build_model, _sample_shape
+        from mmvae_tpu.train.state import create_train_state
+
+        cfg = _tiny_config("mlp_vae")
+        model = build_model(cfg)
+        template = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        )
+        _, step, data_step = ckpt.restore_latest(ckdir, template)
+        assert step > 0 and data_step == step

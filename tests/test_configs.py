@@ -48,3 +48,16 @@ class TestOverrides:
         with pytest.raises(AttributeError):
             get_config("mlp_vae", ("optim.nonexistent_field_xyz=3",))
         # note: dataclasses allow setattr of new names; guard via getattr probe
+
+    def test_bool_truthy_falsy_literals(self):
+        """Round-1 advisory: '1'/'yes' silently became False; now coerce or raise."""
+        cfg = get_config("mlp_vae", ("train.resume=1", "data.binarize=no"))
+        assert cfg.train.resume is True
+        assert cfg.data.binarize is False
+        cfg = get_config("mlp_vae", ("train.resume=ON", "data.binarize=off"))
+        assert cfg.train.resume is True
+        assert cfg.data.binarize is False
+
+    def test_bool_garbage_raises(self):
+        with pytest.raises(ValueError):
+            get_config("mlp_vae", ("train.resume=maybe",))

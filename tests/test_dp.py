@@ -45,7 +45,6 @@ class TestDP:
         assert m.size == 8 and m.axis_names == (pmesh.DATA_AXIS,)
 
     def test_psum_grads_match_full_batch(self, eight_devices):
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         model, params, x = _setup()
@@ -58,12 +57,12 @@ class TestDP:
             return jax.lax.pmean(g, pmesh.DATA_AXIS)
 
         g_dp = jax.jit(
-            shard_map(
+            jax.shard_map(
                 shard_grad,
                 mesh=mesh,
                 in_specs=(P(), P(pmesh.DATA_AXIS)),
                 out_specs=P(),
-                check_rep=False,
+                check_vma=False,
             )
         )(params, x)
 

@@ -40,3 +40,29 @@ class TestMetricsLogger:
         lg.log(1, {"loss": jnp.float32(1.0), "weird_metric": 9.0})
         lg.close()
         assert "weird_metric" not in p.read_text()
+
+
+class TestCSVAppendOnResume:
+    def test_append_preserves_history(self, tmp_path):
+        """Resume must not truncate the prior run's loss curve (round-1 advisory)."""
+        p = tmp_path / "m.csv"
+        lg = MetricsLogger(csv_path=str(p), print_fn=lambda s: None)
+        lg.log(1, {"loss": jnp.float32(3.0)})
+        lg.log(2, {"loss": jnp.float32(2.0)})
+        lg.close()
+        lg2 = MetricsLogger(csv_path=str(p), print_fn=lambda s: None, append=True)
+        lg2.log(3, {"loss": jnp.float32(1.0)})
+        lg2.close()
+        rows = p.read_text().strip().splitlines()
+        assert len(rows) == 4  # one header + three data rows
+        assert rows[0].startswith("step")
+        steps = [r.split(",")[0] for r in rows[1:]]
+        assert steps == ["1", "2", "3"]
+
+    def test_append_on_missing_file_writes_header(self, tmp_path):
+        p = tmp_path / "fresh.csv"
+        lg = MetricsLogger(csv_path=str(p), print_fn=lambda s: None, append=True)
+        lg.log(1, {"loss": jnp.float32(1.0)})
+        lg.close()
+        rows = p.read_text().strip().splitlines()
+        assert rows[0].startswith("step") and len(rows) == 2

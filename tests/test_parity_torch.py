@@ -205,3 +205,333 @@ class TestConvLSTMvsTorch:
             h_new.permute(0, 2, 3, 1).detach().numpy(),
             atol=1e-5,
         )
+
+
+def _copy_linear(p, name=None):
+    """flax Dense params -> torch Linear (kernel (in,out) == weight^T)."""
+    node = p[name] if name else p
+    w = torch.from_numpy(np.asarray(node["kernel"])).clone()
+    lin = torch.nn.Linear(w.shape[0], w.shape[1])
+    with torch.no_grad():
+        lin.weight.copy_(w.T)
+        lin.bias.copy_(torch.from_numpy(np.asarray(node["bias"])).clone())
+    return lin
+
+
+def _copy_conv(node, stride, padding, bias=True):
+    """flax Conv params (HWIO) -> torch Conv2d (OIHW)."""
+    w = np.asarray(node["kernel"])
+    conv = torch.nn.Conv2d(
+        w.shape[2], w.shape[3], w.shape[0], stride=stride, padding=padding,
+        bias=bias,
+    )
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w.copy()).permute(3, 2, 0, 1))
+        if bias:
+            conv.bias.copy_(torch.from_numpy(np.asarray(node["bias"]).copy()))
+    return conv
+
+
+def _copy_conv_transpose(node, stride, padding):
+    """flax ConvTranspose (transpose_kernel=False) -> torch ConvTranspose2d.
+
+    Empirically verified mapping: torch weight (in,out,kh,kw) = the flax
+    HWIO kernel SPATIALLY FLIPPED then permuted (2,3,0,1); SAME/k4/s2 -> p=1,
+    k2/s2 -> p=0 (max |err| < 3e-7 across random tensors).
+    """
+    w = np.asarray(node["kernel"])  # (kh, kw, in, out)
+    conv = torch.nn.ConvTranspose2d(
+        w.shape[2], w.shape[3], w.shape[0], stride=stride, padding=padding
+    )
+    with torch.no_grad():
+        conv.weight.copy_(
+            torch.from_numpy(w[::-1, ::-1].copy()).permute(2, 3, 0, 1)
+        )
+        conv.bias.copy_(torch.from_numpy(np.asarray(node["bias"]).copy()))
+    return conv
+
+
+def _vae_elbo_torch(logits, target, mu, logvar):
+    bce = F.binary_cross_entropy_with_logits(logits, target, reduction="sum")
+    kl = -0.5 * torch.sum(1 + logvar - mu.pow(2) - logvar.exp())
+    return bce, kl
+
+
+class TestConvVAECurveParity:
+    """Config 2 (BASELINE.json:8) end-to-end: identical weights/data/eps in
+    JAX+optax and torch+Adam must yield matching 25-step loss curves."""
+
+    def test_conv_vae_loss_curve_matches(self, rng):
+        import optax
+
+        from mmvae_tpu.models import ConvVAE
+        from mmvae_tpu.ops.elbo_ref import elbo_parts_ref
+
+        B, L, steps, lr = 8, 8, 25, 1e-3
+        channels = (4, 8, 8, 8)  # grid 64 -> 4
+        grid = 4
+
+        x_np = (rng.uniform(size=(steps, B, 64, 64)) < 0.35).astype(np.float32)
+        eps_np = rng.normal(size=(steps, B, L)).astype(np.float32)
+
+        model = ConvVAE(latent_dim=L, channels=channels)
+        params = model.init(
+            jax.random.key(0), jnp.asarray(x_np[0]), lambda m, v, salt=0: m
+        )
+        p = params["params"]
+
+        # --- torch twin -----------------------------------------------------
+        enc = [
+            _copy_conv(p["encoder"][f"Conv_{i}"], stride=2, padding=1)
+            for i in range(len(channels))
+        ]
+        lin_mu = _copy_linear(p["head"], "mu")
+        lin_lv = _copy_linear(p["head"], "logvar")
+        dec_in = _copy_linear(p, "dec_in")
+        dec = [
+            _copy_conv_transpose(p["decoder"][f"ConvTranspose_{i}"], 2, 1)
+            for i in range(len(channels))
+        ]
+        out_conv = _copy_conv(p["decoder"]["Conv_0"], stride=1, padding=1)
+        mods = enc + [lin_mu, lin_lv, dec_in] + dec + [out_conv]
+        t_opt = torch.optim.Adam(
+            [q for m in mods for q in m.parameters()], lr=lr
+        )
+
+        def torch_loss(x, eps):
+            h = x[:, None]  # (B,1,64,64)
+            for conv in enc:
+                h = torch.relu(conv(h))
+            flat = h.permute(0, 2, 3, 1).reshape(B, -1)  # NHWC flatten = flax
+            mu, logvar = lin_mu(flat), lin_lv(flat)
+            z = mu + torch.exp(0.5 * logvar) * eps
+            h = torch.relu(dec_in(z)).view(B, grid, grid, channels[-1])
+            h = h.permute(0, 3, 1, 2)
+            for conv in dec:
+                h = torch.relu(conv(h))
+            logits = out_conv(h)[:, 0]
+            bce, kl = _vae_elbo_torch(logits, x, mu, logvar)
+            return (bce + kl) / B
+
+        # --- JAX loop with injected eps --------------------------------------
+        tx = optax.adam(lr)
+        opt_state = tx.init(params)
+
+        def jax_loss(prm, x, eps):
+            out = model.apply(
+                prm, x, lambda m, v, salt=0: m + jnp.exp(0.5 * v) * eps
+            )
+            bce, kl = elbo_parts_ref(out.logits, out.target, out.mu, out.logvar)
+            return (bce + kl) / B
+
+        jit_grad = jax.jit(jax.value_and_grad(jax_loss))
+        jl, tl_curve = [], []
+        for s in range(steps):
+            lval, grads = jit_grad(
+                params, jnp.asarray(x_np[s]), jnp.asarray(eps_np[s])
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            jl.append(float(lval))
+
+            t_opt.zero_grad()
+            tloss = torch_loss(
+                torch.from_numpy(x_np[s]), torch.from_numpy(eps_np[s])
+            )
+            tloss.backward()
+            t_opt.step()
+            tl_curve.append(float(tloss))
+
+        np.testing.assert_allclose(jl, tl_curve, rtol=5e-3)
+
+
+class _TorchConvLSTM:
+    """Hoisted-form ConvLSTM twin: conv_x (bias) + conv_h (no bias), i/f/g/o
+    gate order, +1 forget bias — the equations of models/convlstm.py."""
+
+    def __init__(self, p_lstm):
+        self.conv_x = _copy_conv(p_lstm["input"], stride=1, padding=1)
+        self.conv_h = _copy_conv(
+            p_lstm["step"]["hidden"], stride=1, padding=1, bias=False
+        )
+
+    def params(self):
+        return list(self.conv_x.parameters()) + list(self.conv_h.parameters())
+
+    @staticmethod
+    def _step(xg, c, h, conv_h):
+        gates = xg + conv_h(h)
+        i, f, g, o = torch.chunk(gates, 4, dim=1)
+        c = torch.sigmoid(f + 1.0) * c + torch.sigmoid(i) * torch.tanh(g)
+        h = torch.sigmoid(o) * torch.tanh(c)
+        return c, h
+
+    def run(self, xs, feat, steps=None):
+        """xs: (B,T,C,H,W) or (B,1,C,H,W) broadcast `steps` times."""
+        b = xs.shape[0]
+        g = xs.shape[-1]
+        c = torch.zeros(b, feat, g, g)
+        h = torch.zeros(b, feat, g, g)
+        t = steps or xs.shape[1]
+        xg_const = self.conv_x(xs[:, 0]) if xs.shape[1] == 1 else None
+        hs = []
+        for s in range(t):
+            xg = xg_const if xg_const is not None else self.conv_x(xs[:, s])
+            c, h = self._step(xg, c, h, self.conv_h)
+            hs.append(h)
+        return c, h, torch.stack(hs, dim=1)
+
+
+class TestSeqVAECurveParity:
+    """Config 3 (BASELINE.json:9) end-to-end: the flagship ConvLSTM sequence
+    VAE (hoisted input projection, constant decoder token, pixel-shuffle-style
+    2x2 deconv decoder) trained curve-for-curve against a torch twin."""
+
+    def test_seq_vae_loss_curve_matches(self, rng):
+        import optax
+
+        from mmvae_tpu.models import ConvLSTMSeqVAE
+        from mmvae_tpu.ops.elbo_ref import elbo_parts_ref
+
+        B, T, L, F, steps, lr = 4, 4, 8, 8, 25, 1e-3
+        enc_channels = (4, 8)  # 64 -> 32 -> 16; grid 16
+        grid = 16
+
+        x_np = (rng.uniform(size=(steps, B, T, 64, 64)) < 0.35).astype(np.float32)
+        eps_np = rng.normal(size=(steps, B, L)).astype(np.float32)
+
+        model = ConvLSTMSeqVAE(
+            latent_dim=L, enc_channels=enc_channels, lstm_features=F
+        )
+        params = model.init(
+            jax.random.key(0), jnp.asarray(x_np[0]), lambda m, v, salt=0: m
+        )
+        p = params["params"]
+
+        # --- torch twin -----------------------------------------------------
+        enc = [
+            _copy_conv(p["frame_enc"][f"Conv_{i}"], stride=2, padding=1)
+            for i in range(len(enc_channels))
+        ]
+        enc_lstm = _TorchConvLSTM(p["enc_lstm"])
+        lin_mu = _copy_linear(p["head"], "mu")
+        lin_lv = _copy_linear(p["head"], "logvar")
+        z_to_state = _copy_linear(p, "z_to_state")
+        z_to_token = _copy_linear(p, "z_to_token")
+        dec_lstm = _TorchConvLSTM(p["dec_lstm"])
+        dec = [
+            _copy_conv_transpose(p["frame_dec"][f"ConvTranspose_{i}"], 2, 0)
+            for i in range(len(enc_channels))
+        ]
+        out_conv = _copy_conv(p["frame_dec"]["Conv_0"], stride=1, padding=1)
+
+        t_params = (
+            [q for m in enc for q in m.parameters()]
+            + enc_lstm.params()
+            + list(lin_mu.parameters()) + list(lin_lv.parameters())
+            + list(z_to_state.parameters()) + list(z_to_token.parameters())
+            + dec_lstm.params()
+            + [q for m in dec for q in m.parameters()]
+            + list(out_conv.parameters())
+        )
+        t_opt = torch.optim.Adam(t_params, lr=lr)
+
+        def torch_loss(x, eps):
+            frames = x.reshape(B * T, 1, 64, 64)
+            h = frames
+            for conv in enc:
+                h = torch.relu(conv(h))
+            feats = h.view(B, T, *h.shape[1:])  # (B,T,C,g,g)
+            _, h_T, _ = enc_lstm.run(feats, F)
+            flat = h_T.permute(0, 2, 3, 1).reshape(B, -1)  # NHWC flatten
+            mu, logvar = lin_mu(flat), lin_lv(flat)
+            z = mu + torch.exp(0.5 * logvar) * eps
+
+            ch = z_to_state(z).view(B, grid, grid, 2 * F).permute(0, 3, 1, 2)
+            c0, h0 = ch[:, :F], ch[:, F:]
+            token = (
+                z_to_token(z).view(B, grid, grid, 16).permute(0, 3, 1, 2)
+            )[:, None]  # (B,1,16,g,g)
+            # decoder scan from (c0, h0) with the constant token input
+            c, h = c0, h0
+            xg = dec_lstm.conv_x(token[:, 0])
+            hs = []
+            for _ in range(T):
+                c, h = dec_lstm._step(xg, c, h, dec_lstm.conv_h)
+                hs.append(h)
+            hseq = torch.stack(hs, dim=1).reshape(B * T, F, grid, grid)
+            d = hseq
+            for conv in dec:
+                d = torch.relu(conv(d))
+            logits = out_conv(d)[:, 0].view(B, T, 64, 64)
+            bce, kl = _vae_elbo_torch(logits, x, mu, logvar)
+            return (bce + kl) / B
+
+        # --- JAX loop with injected eps --------------------------------------
+        tx = optax.adam(lr)
+        opt_state = tx.init(params)
+
+        def jax_loss(prm, x, eps):
+            out = model.apply(
+                prm, x, lambda m, v, salt=0: m + jnp.exp(0.5 * v) * eps
+            )
+            bce, kl = elbo_parts_ref(out.logits, out.target, out.mu, out.logvar)
+            return (bce + kl) / B
+
+        jit_grad = jax.jit(jax.value_and_grad(jax_loss))
+        jl, tl_curve = [], []
+        for s in range(steps):
+            lval, grads = jit_grad(
+                params, jnp.asarray(x_np[s]), jnp.asarray(eps_np[s])
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            jl.append(float(lval))
+
+            t_opt.zero_grad()
+            tloss = torch_loss(
+                torch.from_numpy(x_np[s]), torch.from_numpy(eps_np[s])
+            )
+            tloss.backward()
+            t_opt.step()
+            tl_curve.append(float(tloss))
+
+        np.testing.assert_allclose(jl, tl_curve, rtol=5e-3)
+
+
+class TestConcatConvLSTMScanParity:
+    def test_concat_cell_scan_over_time(self, rng):
+        """Multi-step scan of the concat-form cell vs torch (extends the
+        single-step round-1 test to a full T-step recurrence)."""
+        from mmvae_tpu.models.convlstm import ConvLSTMCell, scan_convlstm
+
+        b, t, hw, cin, f = 2, 5, 8, 3, 4
+        xs = rng.normal(size=(b, t, hw, hw, cin)).astype(np.float32)
+
+        scanned = scan_convlstm(ConvLSTMCell, f, name="cell")
+        state0 = ConvLSTMCell.initial_state(b, hw, hw, f)
+        params = scanned.init(jax.random.key(1), state0, jnp.asarray(xs))
+        (c_j, h_j), hs_j = scanned.apply(params, state0, jnp.asarray(xs))
+
+        kernel = np.asarray(params["params"]["gates"]["kernel"])
+        bias = np.asarray(params["params"]["gates"]["bias"])
+        conv = torch.nn.Conv2d(cin + f, 4 * f, 3, padding=1)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(kernel.copy()).permute(3, 2, 0, 1))
+            conv.bias.copy_(torch.from_numpy(bias.copy()))
+
+        c = torch.zeros(b, f, hw, hw)
+        h = torch.zeros(b, f, hw, hw)
+        for s in range(t):
+            x_t = torch.from_numpy(xs[:, s]).permute(0, 3, 1, 2)
+            gates = conv(torch.cat([x_t, h], dim=1))
+            i, fg, g, o = torch.chunk(gates, 4, dim=1)
+            c = torch.sigmoid(fg + 1.0) * c + torch.sigmoid(i) * torch.tanh(g)
+            h = torch.sigmoid(o) * torch.tanh(c)
+
+        np.testing.assert_allclose(
+            np.asarray(h_j), h.permute(0, 2, 3, 1).detach().numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_j), c.permute(0, 2, 3, 1).detach().numpy(), atol=2e-5
+        )

@@ -125,8 +125,8 @@ def test_checkpoint_roundtrip(tmp_path):
     template = create_train_state(
         model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
     )
-    restored, step = ckpt.restore_latest(cfg.train.checkpoint_dir, template)
-    assert step == 12
+    restored, step, data_step = ckpt.restore_latest(cfg.train.checkpoint_dir, template)
+    assert step == 12 and data_step == 12
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
