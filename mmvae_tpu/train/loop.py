@@ -133,8 +133,32 @@ def make_train_step(
     return step
 
 
-def make_eval_step(model, *, binarize: bool = True, use_pallas=None):
+def make_eval_step(model, *, binarize: bool = True, use_pallas=None, mesh=None):
+    """Jitted eval step; with `mesh` (size > 1) it runs data-parallel under
+    shard_map like the train step — batch split over the 'data' axis, metrics
+    pmean'd — so multi-chip eval shards instead of replicating the val batch.
+    """
     loss_fn = make_loss_fn(model, binarize=binarize, use_pallas=use_pallas)
+
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from mmvae_tpu.parallel.mesh import DATA_AXIS
+
+        def shard_eval(params, batch_u8, seed):
+            idx = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+            _, metrics = loss_fn(params, batch_u8, seed + idx * jnp.int32(1000003))
+            return jax.lax.pmean(metrics, DATA_AXIS)
+
+        return jax.jit(
+            jax.shard_map(
+                shard_eval,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
 
     @jax.jit
     def eval_step(params, batch_u8, seed):
@@ -277,18 +301,24 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         process_count=jax.process_count(),
     )
     eval_step = make_eval_step(
-        model, binarize=cfg.data.binarize, use_pallas=cfg.train.use_pallas
+        model,
+        binarize=cfg.data.binarize,
+        use_pallas=cfg.train.use_pallas,
+        mesh=device_mesh if use_dp else None,
     )
 
     def run_eval(params) -> dict:
         # Use the training batch size when the val split allows, else shrink
-        # to the split (costs one extra jit specialization, once).
+        # to the split (costs one extra jit specialization, once).  Under DP
+        # the batch must divide the mesh, like the train step.
         avail = (
             len(val_dataset) * max(val_dataset.data.shape[1], 1)
             if cfg.data.per_frame
             else len(val_dataset)
         )
         vbs = min(cfg.data.batch_size, avail)
+        if use_dp:
+            vbs -= vbs % n_dev
         if vbs == 0:
             return {}
         it = (
@@ -298,7 +328,8 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         )
         acc, n = None, 0
         for _, vb in zip(range(cfg.train.eval_batches), it):
-            m = eval_step(params, jax.device_put(vb), jnp.int32(n))
+            vb_dev = jax.device_put(vb, sharding) if use_dp else jax.device_put(vb)
+            m = eval_step(params, vb_dev, jnp.int32(n))
             m = {k: float(np.asarray(v)) for k, v in m.items()}
             acc = m if acc is None else {k: acc[k] + m[k] for k in m}
             n += 1

@@ -158,3 +158,87 @@ class TestDP:
             state, metrics = step(state, batch)
             losses.append(float(np.asarray(metrics["loss"])))
         assert losses[-1] < losses[0]
+
+
+class TestDPAllConfigs:
+    """Every contract config's train step compiles + executes under shard_map
+    on the 8-fake-device mesh (local mirror of __graft_entry__.dryrun_multichip,
+    round-1 verdict item 5)."""
+
+    @pytest.mark.parametrize(
+        "name", ["mlp_vae", "conv_vae", "seq_vae", "pred_vae", "hier_vae"]
+    )
+    def test_one_dp_step_per_config(self, eight_devices, name):
+        from test_train_smoke import _tiny_config
+
+        from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape
+        from mmvae_tpu.train.state import create_train_state
+
+        cfg = _tiny_config(name)
+        cfg.data.batch_size = 8
+        model = build_model(cfg)
+        state = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        )
+        mesh = pmesh.make_mesh(eight_devices)
+        resident = name == "hier_vae"  # config 5: resident gather under DP
+        step = pmesh.dp_step(
+            make_train_step(
+                model,
+                binarize=cfg.data.binarize,
+                axis_name=pmesh.DATA_AXIS,
+                resident_batch=1 if resident else None,
+                per_frame=cfg.data.per_frame,
+            ),
+            mesh,
+            donate_state=False,
+        )
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        shape = (
+            (16,) + _sample_shape(cfg)[1:] if resident else _sample_shape(cfg)
+        )
+        batch = np.random.default_rng(0).integers(0, 256, shape, np.uint8)
+        batch = jax.device_put(batch, pmesh.batch_sharding(mesh))
+        new_state, metrics = step(state, batch)
+        assert np.isfinite(float(np.asarray(metrics["loss"])))
+        assert int(np.asarray(new_state.step)) == 1
+
+
+class TestShardedEval:
+    def test_eval_step_shards_batch(self, eight_devices):
+        from test_train_smoke import _tiny_config
+
+        from mmvae_tpu.train.loop import build_model, make_eval_step, _sample_shape
+        from mmvae_tpu.train.state import create_train_state
+
+        cfg = _tiny_config("mlp_vae")
+        model = build_model(cfg)
+        state = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        )
+        mesh = pmesh.make_mesh(eight_devices)
+        eval_step = make_eval_step(model, binarize=False, mesh=mesh)
+        batch = np.random.default_rng(0).integers(0, 256, (16, 64, 64), np.uint8)
+        batch = jax.device_put(batch, pmesh.batch_sharding(mesh))
+        params = jax.device_put(state.params, pmesh.replicated_sharding(mesh))
+        m = eval_step(params, batch, jnp.int32(0))
+        assert np.isfinite(float(np.asarray(m["loss"])))
+        # metrics replicated across the mesh (pmean'd)
+        assert np.asarray(m["loss"]).shape == ()
+
+    def test_fit_dp_eval_runs(self, eight_devices):
+        """fit() with DP on: eval path shards the val batch like training."""
+        from test_train_smoke import _tiny_config
+
+        from mmvae_tpu.train.loop import fit
+
+        cfg = _tiny_config("mlp_vae")
+        cfg.train.data_parallel = True
+        cfg.data.batch_size = 16
+        cfg.data.device_resident = True
+        cfg.train.steps = 4
+        cfg.train.log_every = 2
+        cfg.train.eval_every = 2
+        cfg.train.eval_batches = 1
+        _, history = fit(cfg)
+        assert any("val_loss" in h for h in history)
