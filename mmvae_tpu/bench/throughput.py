@@ -22,6 +22,23 @@ import numpy as np
 
 NORTH_STAR_FRAMES_PER_SEC = 50_000.0
 
+# Peak dense bf16 matmul throughput per chip (TFLOP/s), by device_kind
+# substring.  Used for the MFU denominator; unknown kinds omit MFU.
+_PEAK_BF16_TFLOPS = (
+    ("v6 lite", 918.0), ("v6e", 918.0),
+    ("v5p", 459.0),
+    ("v5 lite", 197.0), ("v5e", 197.0),
+    ("v4", 275.0),
+)
+
+
+def _peak_tflops(device_kind: str):
+    dk = device_kind.lower()
+    for sub, peak in _PEAK_BF16_TFLOPS:
+        if sub in dk:
+            return peak
+    return None
+
 
 def run_benchmark(
     cfg,
@@ -51,40 +68,56 @@ def run_benchmark(
             "the reported frames/step would overstate the judged metric"
         )
     resident_batch = cfg.data.batch_size // (n_dev if use_dp else 1)
+    sample_shape = shape[1:]
+    step_kwargs = dict(
+        binarize=cfg.data.binarize,
+        use_pallas=cfg.train.use_pallas,
+        resident_batch=resident_batch,
+        resident_shape=sample_shape,
+        per_frame=cfg.data.per_frame,
+    )
     if use_dp:
         inner = make_train_step(
-            model,
-            binarize=cfg.data.binarize,
-            use_pallas=cfg.train.use_pallas,
-            axis_name=pmesh.DATA_AXIS,
-            resident_batch=resident_batch,
-            per_frame=cfg.data.per_frame,
+            model, axis_name=pmesh.DATA_AXIS, **step_kwargs
         )
         step_fn = pmesh.dp_step(inner, device_mesh)
         batch_sharding = pmesh.batch_sharding(device_mesh)
         state = jax.device_put(state, pmesh.replicated_sharding(device_mesh))
     else:
         step_fn = jax.jit(
-            make_train_step(
-                model,
-                binarize=cfg.data.binarize,
-                use_pallas=cfg.train.use_pallas,
-                resident_batch=resident_batch,
-                per_frame=cfg.data.per_frame,
-            ),
-            donate_argnums=(0,),
+            make_train_step(model, **step_kwargs), donate_argnums=(0,)
         )
         batch_sharding = None
 
-    n_clips = max(256, cfg.data.batch_size)
+    # Resident dataset at the PRODUCTION size (the config's full train split,
+    # int32-packed like train.loop) so the measured step includes the honest
+    # on-device gather cost — a small synthetic pool understates it.
+    from mmvae_tpu.data import transforms
+
+    n_clips = max(
+        int(cfg.data.num_sequences * cfg.data.train_fraction),
+        cfg.data.batch_size,
+    )
     n_clips -= n_clips % n_dev
     data_shape = (n_clips, max(cfg.data.seq_len, 1), 64, 64)
-    batch = np.random.default_rng(0).integers(0, 256, data_shape, dtype=np.uint8)
+    batch = transforms.pack_resident(
+        np.random.default_rng(0).integers(0, 256, data_shape, dtype=np.uint8),
+        per_frame=cfg.data.per_frame,
+    )
     batch = (
         jax.device_put(batch, batch_sharding)
         if batch_sharding is not None
         else jax.device_put(batch)
     )
+
+    # FLOPs/step straight from the compiled executable (XLA's own count of
+    # the full fwd+bwd+optimizer step) — the MFU numerator.
+    flops_per_step = None
+    try:
+        ca = step_fn.lower(state, batch).compile().cost_analysis()
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass  # cost analysis is backend-optional; MFU just gets omitted
 
     for _ in range(warmup):
         state, metrics = step_fn(state, batch)
@@ -114,6 +147,13 @@ def run_benchmark(
     frames_per_step = shape[0] if cfg.data.per_frame else shape[0] * shape[1]
     fps = frames_per_step * steps / dt
     fps_chip = fps / n_dev
+
+    mfu = tflops_sec = None
+    peak = _peak_tflops(jax.devices()[0].device_kind)
+    if flops_per_step:
+        tflops_sec = flops_per_step * steps / dt / 1e12 / n_dev
+        if peak:
+            mfu = tflops_sec / peak
     return {
         "metric": "training frames/sec/chip (20-frame clips)"
         if not cfg.data.per_frame
@@ -128,4 +168,7 @@ def run_benchmark(
         "n_devices": n_dev,
         "device": jax.devices()[0].device_kind,
         "final_loss": float(np.asarray(metrics["loss"])),
+        "flops_per_step": flops_per_step,
+        "tflops_per_sec_chip": round(tflops_sec, 2) if tflops_sec else None,
+        "mfu": round(mfu, 4) if mfu else None,
     }

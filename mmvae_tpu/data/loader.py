@@ -219,6 +219,12 @@ class MovingMNIST:
             epoch += 1
 
 
+# One-slot memo for the procedural dataset: fit() builds the train AND val
+# splits from the same underlying array, and a 10k-clip generation costs
+# minutes of host time — generate once, split twice.
+_GEN_CACHE: dict = {}
+
+
 def load_or_generate(
     path: Optional[str] = None,
     *,
@@ -239,7 +245,39 @@ def load_or_generate(
                         data=np.ascontiguousarray(ds.data[:, :seq_len]), **kw
                     )
                 return ds
+    key = (num_sequences, seq_len, num_digits, seed)
+    if _GEN_CACHE.get("key") != key:
+        _GEN_CACHE["key"] = key
+        _GEN_CACHE["data"] = _disk_cached_generate(*key)
+    return MovingMNIST(data=_GEN_CACHE["data"], **kw)
+
+
+def _disk_cached_generate(
+    num_sequences: int, seq_len: int, num_digits: int, seed: int
+) -> np.ndarray:
+    """Procedural generation behind a per-machine disk cache.
+
+    Generating the full 10k-clip dataset costs ~2.5 min of host time; cache
+    it under ~/.cache/mmvae_tpu so it's paid once per machine.  Large
+    datasets only (small test fixtures regenerate faster than they load).
+    """
+    if num_sequences * seq_len < 20000:
+        return generate_moving_mnist(
+            num_sequences, seq_len=seq_len, num_digits=num_digits, seed=seed
+        )
+    cache_dir = os.path.expanduser("~/.cache/mmvae_tpu")
+    fname = f"gen_{num_sequences}x{seq_len}_d{num_digits}_s{seed}.npy"
+    path = os.path.join(cache_dir, fname)
+    if os.path.exists(path):
+        return np.load(path)
     data = generate_moving_mnist(
         num_sequences, seq_len=seq_len, num_digits=num_digits, seed=seed
     )
-    return MovingMNIST(data=data, **kw)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.npy"  # np.save appends .npy unless already present
+        np.save(tmp, data)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is best-effort (read-only/low-disk environments)
+    return data

@@ -75,8 +75,13 @@ class ConvDecoder(nn.Module):
       one input tap per output, mathematically a learned pixel shuffle but
       WITHOUT the depth-to-space relayout (6-D transposes are memory-bound
       losers on TPU; measured 3.6x-fewer-FLOP shuffle variants ran slower
-      than 4x4 transpose).  57 GFLOP vs 205 GFLOP for 4x4, ~15% faster
-      end-to-end; the final 3x3 conv provides cross-cell spatial mixing.
+      than 4x4 transpose).  Crucially, NO multi-channel tensor ever exists at
+      full resolution: the 3x3 spatial mixing runs at HALF resolution and the
+      last 2x2 transpose emits 1-channel logits directly.  Profiling the
+      round-1 layout (mixing conv at 64x64 over 32 channels) showed the
+      decoder's full-res activations dominated the whole train step — 38% of
+      device time, including 20 ms/30-step of pure `reverse` (conv-backward
+      activation flips over 670 MB tensors).
     - "transpose": classic 4x4/stride-2 ConvTranspose (the reference-era
       layout, kept for the per-frame Conv VAE's architectural parity).
     """
@@ -88,18 +93,26 @@ class ConvDecoder(nn.Module):
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
         h = h.astype(self.dtype)
-        for ch in self.channels:
-            if self.upsample == "fast":
+        if self.upsample == "fast":
+            for ch in self.channels[:-1]:
                 h = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
-            else:
-                h = nn.ConvTranspose(
-                    ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype
-                )(h)
+                h = nn.relu(h)
+            # Cross-cell spatial mixing at half resolution (cheap: 1/4 pixels).
+            h = nn.relu(
+                nn.Conv(self.channels[-1], (3, 3), padding="SAME", dtype=self.dtype)(h)
+            )
+            # Final upsample straight to 1-channel logits: the only full-res
+            # tensor in the decoder is the logits themselves.
+            logits = nn.ConvTranspose(1, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+            return logits.astype(jnp.float32)
+        for ch in self.channels:
+            h = nn.ConvTranspose(
+                ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype
+            )(h)
             h = nn.relu(h)
-        # Final 3x3 conv to single-channel logits.  Runs in the activation
-        # dtype: full-resolution multi-channel f32 activations would dominate
-        # HBM traffic (measured ~670 MB/pass at B*T=1280); only the 1-channel
-        # logits are cast to f32 (the ELBO reduce accumulates in f32 anyway).
+        # Final 3x3 conv to single-channel logits, in the activation dtype;
+        # only the 1-channel logits are cast to f32 (the ELBO reduce
+        # accumulates in f32 anyway).
         logits = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(h)
         return logits.astype(jnp.float32)
 

@@ -61,13 +61,17 @@ class HierVideoVAE(nn.Module):
     image_size: int = 64
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    unroll: int = 1  # chunk-scan unroll factor for both ConvLSTMs
+    gate_bf16: bool = False  # bf16 pointwise gate math + cell state
 
     def setup(self):
+        gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
         self.grid = self.image_size // (2 ** len(self.enc_channels))
         g, f = self.grid, self.lstm_features
         self.frame_enc = ConvEncoder(self.enc_channels, dtype=self.dtype)
         self.chunk_lstm = ConvLSTM(
-            f, name="chunk_lstm", dtype=self.dtype, remat=self.remat
+            f, name="chunk_lstm", dtype=self.dtype, remat=self.remat,
+            unroll=self.unroll, gate_dtype=gate_dtype,
         )
         self.chunk_proj = nn.Dense(self.chunk_feature, dtype=jnp.float32)
         # Global posterior over mean-pooled chunk features.
@@ -86,7 +90,8 @@ class HierVideoVAE(nn.Module):
         self.z_to_state = nn.Dense(2 * g * g * f, dtype=jnp.float32)
         self.z_to_token = nn.Dense(g * g * 16, dtype=jnp.float32)
         self.dec_lstm = ConvLSTM(
-            f, name="dec_lstm", dtype=self.dtype, remat=self.remat
+            f, name="dec_lstm", dtype=self.dtype, remat=self.remat,
+            unroll=self.unroll, gate_dtype=gate_dtype,
         )
         self.frame_dec = ConvDecoder(
             tuple(reversed(self.enc_channels)), dtype=self.dtype
@@ -100,12 +105,14 @@ class HierVideoVAE(nn.Module):
         k = t // self.chunk_len
         assert k * self.chunk_len == t, "seq_len must be a multiple of chunk_len"
         frames = x.reshape(b * t, *x.shape[2:])[..., None]
-        feats = self.frame_enc(frames)  # (B*T, g, g, C)
+        with jax.named_scope("frame_enc"):
+            feats = self.frame_enc(frames)  # (B*T, g, g, C)
         feats = feats.reshape(b * k, self.chunk_len, *feats.shape[1:])
         state0 = ConvLSTMCell.initial_state(
             b * k, self.grid, self.grid, self.lstm_features, dtype=self.dtype
         )
-        (_, h_t), _ = self.chunk_lstm(state0, feats)
+        with jax.named_scope("chunk_lstm"):
+            (_, h_t), _ = self.chunk_lstm(state0, feats)
         pooled = h_t.reshape(b * k, -1).astype(jnp.float32)
         return self.chunk_proj(pooled).reshape(b, k, self.chunk_feature)
 
@@ -147,9 +154,11 @@ class HierVideoVAE(nn.Module):
         state0 = (ch[..., :f], ch[..., f:])
         # constant token -> single-shot input projection in the ConvLSTM
         token = self.z_to_token(zz).reshape(b * k, 1, g, g, 16).astype(self.dtype)
-        _, hs = self.dec_lstm(state0, token, length=tc)  # (B*K, Tc, g, g, F)
+        with jax.named_scope("dec_lstm"):
+            _, hs = self.dec_lstm(state0, token, length=tc)  # (B*K, Tc, g, g, F)
         flat = hs.reshape(b * k * tc, *hs.shape[2:])
-        logits = self.frame_dec(flat)[..., 0]
+        with jax.named_scope("frame_dec"):
+            logits = self.frame_dec(flat)[..., 0]
         return logits.reshape(b, k * tc, self.image_size, self.image_size)
 
     # -- training forward ----------------------------------------------------

@@ -38,19 +38,24 @@ class PredSeqVAE(nn.Module):
     image_size: int = 64
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    unroll: int = 1  # time-scan unroll factor for both ConvLSTMs
+    gate_bf16: bool = False  # bf16 pointwise gate math + cell state
 
     def setup(self):
+        gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
         self.grid = self.image_size // (2 ** len(self.enc_channels))
         self.frame_enc = ConvEncoder(self.enc_channels, dtype=self.dtype)
         self.enc_lstm = ConvLSTM(
             self.lstm_features, name="enc_lstm",
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, unroll=self.unroll,
+            gate_dtype=gate_dtype,
         )
         self.head = GaussianHead(self.latent_dim)
         self.z_to_token = nn.Dense(self.grid * self.grid * 16, dtype=jnp.float32)
         self.dec_lstm = ConvLSTM(
             self.lstm_features, name="dec_lstm",
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, unroll=self.unroll,
+            gate_dtype=gate_dtype,
         )
         self.frame_dec = ConvDecoder(
             tuple(reversed(self.enc_channels)), dtype=self.dtype

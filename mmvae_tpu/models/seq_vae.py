@@ -39,13 +39,17 @@ class ConvLSTMSeqVAE(nn.Module):
     image_size: int = 64
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    unroll: int = 1  # time-scan unroll factor for both ConvLSTMs
+    gate_bf16: bool = False  # bf16 pointwise gate math + cell state
 
     def setup(self):
+        gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
         self.grid = self.image_size // (2 ** len(self.enc_channels))
         self.frame_enc = ConvEncoder(self.enc_channels, dtype=self.dtype)
         self.enc_lstm = ConvLSTM(
             self.lstm_features, name="enc_lstm",
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, unroll=self.unroll,
+            gate_dtype=gate_dtype,
         )
         self.head = GaussianHead(self.latent_dim)
         # z -> initial decoder state (c, h) and a per-step input token.
@@ -57,7 +61,8 @@ class ConvLSTMSeqVAE(nn.Module):
         )
         self.dec_lstm = ConvLSTM(
             self.lstm_features, name="dec_lstm",
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, unroll=self.unroll,
+            gate_dtype=gate_dtype,
         )
         self.frame_dec = ConvDecoder(
             tuple(reversed(self.enc_channels)), dtype=self.dtype
@@ -67,7 +72,8 @@ class ConvLSTMSeqVAE(nn.Module):
         """(B, T, H, W) -> (B, T, g, g, C): per-frame conv stack, batched B*T."""
         b, t = x.shape[:2]
         frames = x.reshape(b * t, *x.shape[2:])[..., None]
-        feats = self.frame_enc(frames)
+        with jax.named_scope("frame_enc"):
+            feats = self.frame_enc(frames)
         return feats.reshape(b, t, *feats.shape[1:])
 
     def encode(self, x: jax.Array):
@@ -77,9 +83,11 @@ class ConvLSTMSeqVAE(nn.Module):
         state0 = ConvLSTMCell.initial_state(
             b, self.grid, self.grid, self.lstm_features, dtype=self.dtype
         )
-        (c_t, h_t), _ = self.enc_lstm(state0, feats)
+        with jax.named_scope("enc_lstm"):
+            (c_t, h_t), _ = self.enc_lstm(state0, feats)
         del c_t
-        return self.head(h_t)
+        with jax.named_scope("latent_head"):
+            return self.head(h_t)
 
     def _init_decoder(self, z: jax.Array):
         b = z.shape[0]
@@ -93,11 +101,14 @@ class ConvLSTMSeqVAE(nn.Module):
 
     def decode(self, z: jax.Array, t: int) -> jax.Array:
         """z: (B, latent) -> logits (B, t, H, W)."""
-        state0, token = self._init_decoder(z)
-        _, hs = self.dec_lstm(state0, token, length=t)  # (B, t, g, g, F)
+        with jax.named_scope("z_init"):
+            state0, token = self._init_decoder(z)
+        with jax.named_scope("dec_lstm"):
+            _, hs = self.dec_lstm(state0, token, length=t)  # (B, t, g, g, F)
         b = z.shape[0]
         flat = hs.reshape(b * t, *hs.shape[2:])
-        logits = self.frame_dec(flat)[..., 0]  # batched deconv over B*t
+        with jax.named_scope("frame_dec"):
+            logits = self.frame_dec(flat)[..., 0]  # batched deconv over B*t
         return logits.reshape(b, t, self.image_size, self.image_size)
 
     def __call__(self, x: jax.Array, sample_fn: SampleFn) -> VAEOutput:

@@ -40,23 +40,26 @@ def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
 
     def loss_fn(params, batch_u8, seed, beta=1.0):
         pallas = use_pallas or (use_pallas is None and jax.default_backend() == "tpu")
-        if pallas and batch_u8.size % 128 == 0:
-            # fused u8->f32 normalize(+Bernoulli binarize) with on-core PRNG
-            from mmvae_tpu.ops.preprocess_pallas import preprocess_pallas
-            from mmvae_tpu.ops.seeds import STREAM_PREPROCESS, stream_seed
+        with jax.named_scope("preprocess"):
+            if pallas and batch_u8.size % 128 == 0:
+                # fused u8->f32 normalize(+binarize) with on-core PRNG
+                from mmvae_tpu.ops.preprocess_pallas import preprocess_pallas
+                from mmvae_tpu.ops.seeds import STREAM_PREPROCESS, stream_seed
 
-            x = preprocess_pallas(
-                batch_u8, stream_seed(seed, STREAM_PREPROCESS), binarize=binarize
+                x = preprocess_pallas(
+                    batch_u8, stream_seed(seed, STREAM_PREPROCESS), binarize=binarize
+                )
+            else:
+                key = jax.random.PRNGKey(seed)
+                x = transforms.preprocess(
+                    batch_u8, rng=jax.random.fold_in(key, 7) if binarize else None
+                )
+        with jax.named_scope("model_fwd"):
+            out = model.apply(params, x, ops.make_sample_fn(seed, use_pallas))
+        with jax.named_scope("elbo_reduce"):
+            bce, kl = ops.elbo_parts(
+                out.logits, out.target, out.mu, out.logvar, use_pallas=use_pallas
             )
-        else:
-            key = jax.random.PRNGKey(seed)
-            x = transforms.preprocess(
-                batch_u8, rng=jax.random.fold_in(key, 7) if binarize else None
-            )
-        out = model.apply(params, x, ops.make_sample_fn(seed, use_pallas))
-        bce, kl = ops.elbo_parts(
-            out.logits, out.target, out.mu, out.logvar, use_pallas=use_pallas
-        )
         b = out.mu.shape[0]
         kl_total = kl + out.extra_kl
         loss = (bce + beta * kl_total) / b
@@ -77,6 +80,7 @@ def make_train_step(
     use_pallas: Optional[bool] = None,
     axis_name: Optional[str] = None,
     resident_batch: Optional[int] = None,
+    resident_shape: Optional[Tuple[int, ...]] = None,
     per_frame: bool = False,
     beta: float = 1.0,
     kl_warmup_steps: int = 0,
@@ -88,14 +92,19 @@ def make_train_step(
     across shards) and grads/metrics are `pmean`'d over the axis.
 
     With `resident_batch` set, the second argument is the ENTIRE device-
-    resident uint8 dataset (clips on dim 0) and the step draws its batch
-    on-device (uniform with replacement) — zero host->device traffic in steady
-    state.  Moving MNIST is ~0.8 GB (far under HBM), so this is the default
-    training mode on TPU; host streaming remains for datasets that don't fit.
+    resident dataset, **int32-packed** via `transforms.pack_resident` (one row
+    per sample), and the step draws its batch on-device (uniform with
+    replacement) — zero host->device traffic in steady state.  Moving MNIST is
+    ~0.8 GB (far under HBM), so this is the default training mode on TPU; host
+    streaming remains for datasets that don't fit.  `resident_shape` is the
+    uint8 shape of ONE sample, e.g. (20, 64, 64) clips or (64, 64) frames
+    (defaults from `per_frame`).
     """
     loss_fn = make_loss_fn(model, binarize=binarize, use_pallas=use_pallas)
+    if resident_batch is not None and resident_shape is None:
+        resident_shape = (64, 64) if per_frame else (20, 64, 64)
 
-    def step(state: TrainState, data_u8: jax.Array):
+    def step(state: TrainState, data: jax.Array):
         # int32 LCG-style mix of the step counter (wraparound is fine for seeds)
         seed = state.step.astype(jnp.int32) * jnp.int32(1103515245) + jnp.int32(12345)
         if axis_name is not None:
@@ -103,19 +112,13 @@ def make_train_step(
             seed = seed + idx * jnp.int32(1000003)
         if resident_batch is not None:
             key = jax.random.PRNGKey(seed)
-            clip_idx = jax.random.randint(
-                key, (resident_batch,), 0, data_u8.shape[0]
+            row_idx = jax.random.randint(
+                key, (resident_batch,), 0, data.shape[0]
             )
-            if per_frame:
-                t_idx = jax.random.randint(
-                    jax.random.fold_in(key, 1),
-                    (resident_batch,), 0, data_u8.shape[1],
-                )
-                batch_u8 = data_u8[clip_idx, t_idx]  # (B, H, W) frame gather
-            else:
-                batch_u8 = jnp.take(data_u8, clip_idx, axis=0)  # (B, T, H, W)
+            packed = data.at[row_idx].get(mode="promise_in_bounds")
+            batch_u8 = transforms.unpack_sample(packed, resident_shape)
         else:
-            batch_u8 = data_u8
+            batch_u8 = data
         beta_t = jnp.float32(beta)
         if kl_warmup_steps > 0:
             beta_t = beta_t * jnp.minimum(
@@ -239,10 +242,16 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
             "batch_size must divide the device count in resident DP mode"
         )
 
+    sample_shape = (
+        dataset.split_data.shape[2:]
+        if cfg.data.per_frame
+        else dataset.split_data.shape[1:]
+    )
     step_kwargs = dict(
         binarize=cfg.data.binarize,
         use_pallas=cfg.train.use_pallas,
         resident_batch=resident_batch if resident else None,
+        resident_shape=sample_shape if resident else None,
         per_frame=cfg.data.per_frame,
         beta=cfg.optim.beta,
         kl_warmup_steps=cfg.optim.kl_warmup_steps,
@@ -259,7 +268,11 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         sharding = None
 
     if resident:
-        rows = dataset.split_data  # already a per-process disjoint slice (C1)
+        # Per-process disjoint slice (C1), int32-packed one row per sample —
+        # u8 row gathers are ~5x slower on TPU (see transforms.pack_resident).
+        rows = transforms.pack_resident(
+            dataset.split_data, per_frame=cfg.data.per_frame
+        )
         if jax.process_count() > 1 and use_dp:
             # Multi-host: each process holds only ITS rows; assemble the
             # global sharded array from the process-local slices (device_put

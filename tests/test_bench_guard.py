@@ -1,0 +1,37 @@
+"""Throughput regression guard (SURVEY.md 4.2 "Bench guard", verdict item 7).
+
+Hardware-conditional: runs only on a real TPU backend (the CPU harness can't
+measure the judged metric).  A short fenced window of the headline config must
+stay within 10% of the newest committed `bench_history.json` entry, so a perf
+regression fails CI-on-TPU instead of surfacing at judging time.
+
+Run with:  MMVAE_TEST_TPU=1 python -m pytest tests/test_bench_guard.py -q
+"""
+
+import json
+import pathlib
+
+import pytest
+
+import jax
+
+HISTORY = pathlib.Path(__file__).parent.parent / "bench_history.json"
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="throughput guard needs real TPU hardware",
+)
+def test_headline_throughput_no_regression():
+    from mmvae_tpu.bench.throughput import run_benchmark
+    from mmvae_tpu.configs import get_config
+
+    committed = json.loads(HISTORY.read_text())
+    latest = committed[-1]["frames_per_sec_chip"]
+
+    result = run_benchmark(get_config("seq_vae"), steps=30, warmup=10)
+    measured = result["value"]
+    assert measured >= 0.9 * latest, (
+        f"headline throughput regressed: {measured:.0f} frames/s/chip vs "
+        f"committed {latest:.0f} (floor {0.9 * latest:.0f})"
+    )

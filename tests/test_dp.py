@@ -113,19 +113,25 @@ class TestDP:
             model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
         )
         mesh = pmesh.make_mesh(eight_devices)
+        from mmvae_tpu.data.transforms import pack_resident
+
         step = pmesh.dp_step(
             make_train_step(
                 model,
                 binarize=True,
                 axis_name=pmesh.DATA_AXIS,
                 resident_batch=2,  # 16 global / 8 devices
+                resident_shape=(64, 64),
                 per_frame=True,
             ),
             mesh,
             donate_state=False,
         )
         state = jax.device_put(state, pmesh.replicated_sharding(mesh))
-        data = np.random.default_rng(0).integers(0, 256, (24, 4, 64, 64), np.uint8)
+        data = pack_resident(
+            np.random.default_rng(0).integers(0, 256, (24, 4, 64, 64), np.uint8),
+            per_frame=True,
+        )
         data = jax.device_put(data, pmesh.batch_sharding(mesh))
         new_state, metrics = step(state, data)
         assert np.isfinite(float(np.asarray(metrics["loss"])))
@@ -180,6 +186,8 @@ class TestDPAllConfigs:
         state = create_train_state(
             model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
         )
+        from mmvae_tpu.data.transforms import pack_resident
+
         mesh = pmesh.make_mesh(eight_devices)
         resident = name == "hier_vae"  # config 5: resident gather under DP
         step = pmesh.dp_step(
@@ -188,16 +196,22 @@ class TestDPAllConfigs:
                 binarize=cfg.data.binarize,
                 axis_name=pmesh.DATA_AXIS,
                 resident_batch=1 if resident else None,
+                resident_shape=_sample_shape(cfg)[1:] if resident else None,
                 per_frame=cfg.data.per_frame,
             ),
             mesh,
             donate_state=False,
         )
         state = jax.device_put(state, pmesh.replicated_sharding(mesh))
-        shape = (
-            (16,) + _sample_shape(cfg)[1:] if resident else _sample_shape(cfg)
-        )
-        batch = np.random.default_rng(0).integers(0, 256, shape, np.uint8)
+        if resident:
+            raw = np.random.default_rng(0).integers(
+                0, 256, (16,) + _sample_shape(cfg)[1:], np.uint8
+            )
+            batch = pack_resident(raw, per_frame=cfg.data.per_frame)
+        else:
+            batch = np.random.default_rng(0).integers(
+                0, 256, _sample_shape(cfg), np.uint8
+            )
         batch = jax.device_put(batch, pmesh.batch_sharding(mesh))
         new_state, metrics = step(state, batch)
         assert np.isfinite(float(np.asarray(metrics["loss"])))

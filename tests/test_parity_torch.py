@@ -419,11 +419,16 @@ class TestSeqVAECurveParity:
         z_to_state = _copy_linear(p, "z_to_state")
         z_to_token = _copy_linear(p, "z_to_token")
         dec_lstm = _TorchConvLSTM(p["dec_lstm"])
+        # "fast" decoder: 2x2 upsamples, 3x3 mixing conv at HALF resolution,
+        # then a final 2x2 transpose straight to 1-channel logits.
         dec = [
             _copy_conv_transpose(p["frame_dec"][f"ConvTranspose_{i}"], 2, 0)
-            for i in range(len(enc_channels))
+            for i in range(len(enc_channels) - 1)
         ]
-        out_conv = _copy_conv(p["frame_dec"]["Conv_0"], stride=1, padding=1)
+        mix_conv = _copy_conv(p["frame_dec"]["Conv_0"], stride=1, padding=1)
+        out_deconv = _copy_conv_transpose(
+            p["frame_dec"][f"ConvTranspose_{len(enc_channels) - 1}"], 2, 0
+        )
 
         t_params = (
             [q for m in enc for q in m.parameters()]
@@ -432,7 +437,7 @@ class TestSeqVAECurveParity:
             + list(z_to_state.parameters()) + list(z_to_token.parameters())
             + dec_lstm.params()
             + [q for m in dec for q in m.parameters()]
-            + list(out_conv.parameters())
+            + list(mix_conv.parameters()) + list(out_deconv.parameters())
         )
         t_opt = torch.optim.Adam(t_params, lr=lr)
 
@@ -463,7 +468,8 @@ class TestSeqVAECurveParity:
             d = hseq
             for conv in dec:
                 d = torch.relu(conv(d))
-            logits = out_conv(d)[:, 0].view(B, T, 64, 64)
+            d = torch.relu(mix_conv(d))
+            logits = out_deconv(d)[:, 0].view(B, T, 64, 64)
             bce, kl = _vae_elbo_torch(logits, x, mu, logvar)
             return (bce + kl) / B
 

@@ -17,6 +17,7 @@ from test_train_smoke import _tiny_config
 
 
 def _resident_step_and_data():
+    from mmvae_tpu.data.transforms import pack_resident
     from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape
     from mmvae_tpu.train.state import create_train_state
 
@@ -27,11 +28,15 @@ def _resident_step_and_data():
     )
     step = jax.jit(
         make_train_step(
-            model, binarize=True, resident_batch=8, per_frame=True
+            model, binarize=True, resident_batch=8,
+            resident_shape=(64, 64), per_frame=True,
         ),
         donate_argnums=(0,),
     )
-    data = np.random.default_rng(0).integers(0, 256, (32, 4, 64, 64), np.uint8)
+    data = pack_resident(
+        np.random.default_rng(0).integers(0, 256, (32, 4, 64, 64), np.uint8),
+        per_frame=True,
+    )
     data_dev = jax.device_put(data)  # explicit: the one allowed upload
     return step, state, data_dev
 
@@ -48,7 +53,7 @@ class TestSteadyStateNoImplicitTransfers:
     def test_guard_bites_on_implicit_host_batch(self):
         step, state, data_dev = _resident_step_and_data()
         state, _ = step(state, data_dev)
-        host_batch = np.zeros(data_dev.shape, np.uint8)
+        host_batch = np.zeros(data_dev.shape, np.int32)
         with jax.transfer_guard("disallow"):
             with pytest.raises(Exception, match="[Dd]isallow"):
                 step(state, host_batch)  # implicit h2d must raise
