@@ -49,8 +49,15 @@ def pack_resident(rows, per_frame: bool = False):
     """uint8 (N, T, H, W) -> int32 (n_samples, bytes/4) for fast row gather.
 
     per_frame=True flattens time into the row axis (one row per frame) so the
-    per-frame models gather single frames directly.  Little-endian byte order
-    matches `unpack_sample`'s bitcast exactly (round-trip tested).
+    per-frame models gather single frames directly.
+
+    Byte layout is **chunk-planar**: each 512-byte chunk is stored as 128
+    words whose byte k holds original byte k*128+j (j = lane).  This is the
+    exact image of the TPU tile-repeat the fused unpack kernel uses
+    (`ops.preprocess_pallas._packed_kernel`: lane c of the 4x-repeated block
+    reads word c%128, shifted by 8*(c//128) — which lands original byte c in
+    lane c with zero cross-lane data movement).  `unpack_sample` is the
+    inverse (round-trip tested in tests/test_data.py).
     """
     import numpy as np
 
@@ -61,11 +68,24 @@ def pack_resident(rows, per_frame: bool = False):
         flat = rows.reshape(n, -1)
     else:
         flat = rows.reshape(rows.shape[0], -1)
-    assert flat.shape[1] % 4 == 0
-    return flat.view(np.int32)
+    nb = flat.shape[1]
+    if nb % 512:
+        raise ValueError(
+            f"resident sample must be a multiple of 512 bytes, got {nb} "
+            "(64x64 frames always are)"
+        )
+    n = flat.shape[0]
+    planar = np.ascontiguousarray(
+        flat.reshape(n, nb // 512, 4, 128).transpose(0, 1, 3, 2)
+    )
+    return planar.reshape(n, nb // 4, 4).view(np.int32)[..., 0]
 
 
 def unpack_sample(packed_i32: jax.Array, sample_shape) -> jax.Array:
-    """int32 (B, bytes/4) -> uint8 (B, *sample_shape); a bitcast, fused by XLA."""
-    u8 = jax.lax.bitcast_convert_type(packed_i32, jnp.uint8)  # (B, bytes/4, 4)
-    return u8.reshape((packed_i32.shape[0],) + tuple(sample_shape))
+    """int32 (B, bytes/4) -> uint8 (B, *sample_shape): inverse of the
+    chunk-planar `pack_resident` layout (bitcast + per-chunk transpose,
+    fused by XLA)."""
+    b, words = packed_i32.shape
+    u8 = jax.lax.bitcast_convert_type(packed_i32, jnp.uint8)  # (B, words, 4)
+    u8 = u8.reshape(b, words // 128, 128, 4).transpose(0, 1, 3, 2)
+    return u8.reshape((b,) + tuple(sample_shape))

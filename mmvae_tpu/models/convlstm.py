@@ -102,12 +102,39 @@ class _HiddenStep(nn.Module):
         return (c_new, h_new), h_new
 
 
+class _HiddenKernelHolder(nn.Module):
+    """Declares the hidden conv kernel at the SAME param path as the scanned
+    form (`step/hidden/kernel`, matching nn.scan(_HiddenStep)), so the fused
+    Pallas path and the lax.scan path share checkpoints and param trees."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        class _Kernel(nn.Module):
+            shape: Tuple[int, ...]
+
+            @nn.compact
+            def __call__(inner) -> jax.Array:
+                return inner.param(
+                    "kernel", nn.initializers.lecun_normal(), inner.shape
+                )
+
+        return _Kernel(self.shape, name="hidden")()
+
+
 class ConvLSTM(nn.Module):
     """Time-scanned ConvLSTM with the hoisted input projection.
 
     __call__(state0, xs) where xs is (B, T, H, W, Cin), or (B, 1, H, W, Cin)
     with `length=T` for a time-constant input (decoder z-tokens): conv_x then
     runs exactly once.
+
+    `fused=True` replaces the lax.scan recurrence with the single fused Pallas
+    kernel (`ops.convlstm_pallas`): the whole T-step hidden recurrence runs in
+    one pallas_call with the cell state VMEM-resident and the 3x3 hidden conv
+    as 9 MXU matmuls (fwd + hand-written BPTT backward).  Param tree and
+    numerics are identical to the scanned form (tests/test_convlstm_fused.py).
 
     Returns (final_state, hs[B, T, H, W, F]).
     """
@@ -118,6 +145,9 @@ class ConvLSTM(nn.Module):
     remat: bool = False
     unroll: int = 1  # lax.scan unroll factor (XLA fuses across unrolled steps)
     gate_dtype: jnp.dtype = jnp.float32  # pointwise gate-math dtype
+    # Single fused Pallas kernel for the whole time scan; None = auto (fused
+    # on TPU, lax.scan elsewhere — same convention as ops.dispatch).
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -125,6 +155,14 @@ class ConvLSTM(nn.Module):
     ) -> Tuple[State, jax.Array]:
         b, t_in = xs.shape[:2]
         t = length or t_in
+        fused = self.fused
+        if fused is None:
+            # Measured policy (docs/RESULTS.md round 3): the fused kernel wins
+            # for streaming inputs (encoder: 1.77 vs 2.01 ms at B=64/T=20 on
+            # v5e) but loses for the time-constant decoder drive (2.03 vs
+            # 1.81 ms — the revisited dxg accumulator block costs more than
+            # XLA's broadcast-input scan saves), so auto = fused iff streaming.
+            fused = jax.default_backend() == "tpu" and not (t_in == 1 and t > 1)
         # Hoisted input projection: one conv over all B*T_in frames.
         flat = xs.reshape(b * t_in, *xs.shape[2:]).astype(self.dtype)
         xg = nn.Conv(
@@ -132,6 +170,20 @@ class ConvLSTM(nn.Module):
             dtype=self.dtype, name="input",
         )(flat)
         xg = xg.reshape(b, t_in, *xg.shape[1:])
+        if fused:
+            from mmvae_tpu.ops.convlstm_pallas import convlstm_scan_pallas
+
+            wh = _HiddenKernelHolder(
+                self.kernel + (self.features, 4 * self.features), name="step"
+            )()
+            c0, h0 = state0
+            return convlstm_scan_pallas(
+                xg.astype(self.dtype),
+                wh.astype(self.dtype),
+                c0.astype(self.dtype),
+                h0.astype(self.dtype),
+                length=t,
+            )
         if t_in == 1 and t > 1:
             xg = jnp.broadcast_to(xg, (b, t) + xg.shape[2:])
 

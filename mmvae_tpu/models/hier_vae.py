@@ -23,7 +23,7 @@ backprop (long-context mechanism, SURVEY.md section 5).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,7 @@ class HierVideoVAE(nn.Module):
     remat: bool = True
     unroll: int = 1  # chunk-scan unroll factor for both ConvLSTMs
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
+    fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -71,7 +72,7 @@ class HierVideoVAE(nn.Module):
         self.frame_enc = ConvEncoder(self.enc_channels, dtype=self.dtype)
         self.chunk_lstm = ConvLSTM(
             f, name="chunk_lstm", dtype=self.dtype, remat=self.remat,
-            unroll=self.unroll, gate_dtype=gate_dtype,
+            unroll=self.unroll, gate_dtype=gate_dtype, fused=self.fused,
         )
         self.chunk_proj = nn.Dense(self.chunk_feature, dtype=jnp.float32)
         # Global posterior over mean-pooled chunk features.
@@ -91,7 +92,7 @@ class HierVideoVAE(nn.Module):
         self.z_to_token = nn.Dense(g * g * 16, dtype=jnp.float32)
         self.dec_lstm = ConvLSTM(
             f, name="dec_lstm", dtype=self.dtype, remat=self.remat,
-            unroll=self.unroll, gate_dtype=gate_dtype,
+            unroll=self.unroll, gate_dtype=gate_dtype, fused=self.fused,
         )
         self.frame_dec = ConvDecoder(
             tuple(reversed(self.enc_channels)), dtype=self.dtype

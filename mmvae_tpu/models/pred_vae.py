@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ class PredSeqVAE(nn.Module):
     remat: bool = False
     unroll: int = 1  # time-scan unroll factor for both ConvLSTMs
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
+    fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -48,14 +49,14 @@ class PredSeqVAE(nn.Module):
         self.enc_lstm = ConvLSTM(
             self.lstm_features, name="enc_lstm",
             dtype=self.dtype, remat=self.remat, unroll=self.unroll,
-            gate_dtype=gate_dtype,
+            gate_dtype=gate_dtype, fused=self.fused,
         )
         self.head = GaussianHead(self.latent_dim)
         self.z_to_token = nn.Dense(self.grid * self.grid * 16, dtype=jnp.float32)
         self.dec_lstm = ConvLSTM(
             self.lstm_features, name="dec_lstm",
             dtype=self.dtype, remat=self.remat, unroll=self.unroll,
-            gate_dtype=gate_dtype,
+            gate_dtype=gate_dtype, fused=self.fused,
         )
         self.frame_dec = ConvDecoder(
             tuple(reversed(self.enc_channels)), dtype=self.dtype

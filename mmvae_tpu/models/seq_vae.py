@@ -15,7 +15,7 @@ structure (SURVEY.md 3.2):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,7 @@ class ConvLSTMSeqVAE(nn.Module):
     remat: bool = False
     unroll: int = 1  # time-scan unroll factor for both ConvLSTMs
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
+    fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -49,7 +50,7 @@ class ConvLSTMSeqVAE(nn.Module):
         self.enc_lstm = ConvLSTM(
             self.lstm_features, name="enc_lstm",
             dtype=self.dtype, remat=self.remat, unroll=self.unroll,
-            gate_dtype=gate_dtype,
+            gate_dtype=gate_dtype, fused=self.fused,
         )
         self.head = GaussianHead(self.latent_dim)
         # z -> initial decoder state (c, h) and a per-step input token.
@@ -62,7 +63,7 @@ class ConvLSTMSeqVAE(nn.Module):
         self.dec_lstm = ConvLSTM(
             self.lstm_features, name="dec_lstm",
             dtype=self.dtype, remat=self.remat, unroll=self.unroll,
-            gate_dtype=gate_dtype,
+            gate_dtype=gate_dtype, fused=self.fused,
         )
         self.frame_dec = ConvDecoder(
             tuple(reversed(self.enc_channels)), dtype=self.dtype

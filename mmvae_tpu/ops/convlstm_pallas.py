@@ -1,0 +1,480 @@
+"""Fused Pallas TPU kernel for the ConvLSTM time scan (fwd + custom VJP).
+
+Why this kernel exists (profile evidence, docs/RESULTS.md round 2): after the
+decoder fix, the remaining train-step time of the flagship ConvLSTM sequence
+VAE is dominated by the two recurrent hidden convolutions — XLA runs each
+3x3 conv at 8x8 spatial as a separate HBM-visiting op per time step, and their
+backward passes re-stream the (B, 8, 8, C) hidden states from HBM every step.
+
+This kernel runs the ENTIRE T-step recurrence in one `pallas_call`:
+
+- the carried cell state (c, h) lives in VMEM **scratch across grid steps**
+  (the TPU grid is sequential, so scratch persists) — zero HBM traffic for the
+  recurrent state;
+- the 3x3 SAME hidden conv at tiny spatial size is computed as **9 shifted
+  MXU matmuls** (a conv IS the sum over taps of shift(h) @ W[tap]): at
+  H = W = 8, F = 128 each tap is a (B*64, 128) x (128, 512) contraction —
+  exactly MXU-shaped, no im2col materialization;
+- gate math (sigmoid/tanh chain, forget bias +1) is fused in f32 on the VPU;
+- per-step inputs (the hoisted input projection `xg`) and outputs (h_t, c_t)
+  stream through VMEM blocks with Pallas' automatic double buffering;
+- the forward saves the post-activation gates (i, f, g, o) as residuals, so
+  the backward kernel — the same grid REVERSED — does NO gate recompute: it
+  streams (gates_t, c_{t-1}, c_t, h_{t-1}, dh_t), carries (dc, dh) in
+  scratch, and accumulates dW into a VMEM-resident block revisited across
+  all grid steps.  (A recompute variant was measured first: it raised the
+  step's matmul FLOPs by ~26% and lost 5% end-to-end; streaming the 4F-wide
+  gates once each way is cheaper than re-running the 9-tap conv per step.)
+
+Semantics match `models.convlstm._HiddenStep` scanned over time (the hoisted
+form: gates = xg_t + conv_h(h_{t-1}, W), no bias, i/f/g/o gate order, forget
+bias +1) — asserted to f32 tolerance in tests/test_convlstm_fused.py, fwd and
+grad, including the time-constant-input decoder path.
+
+Reference lineage: the reference's recurrent core is a stock torch ConvLSTM
+(SURVEY.md 2.1); this is its TPU-native replacement (SURVEY.md 7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _shift_rows(x: jax.Array, s: int) -> jax.Array:
+    """Circular row shift: out[p] = x[(p + s) mod rows] (static s).
+
+    Wrapped rows are always masked by the caller (they correspond to
+    out-of-image taps), so circularity is safe.  Implemented as two static
+    slices + concat — lowers in both Mosaic and interpret mode.
+    """
+    if s == 0:
+        return x
+    return jnp.concatenate([x[s:], x[:s]], axis=0)
+
+
+def _tap_masks(block_b: int, hw: int, width: int, height: int):
+    """Validity column-vector per tap: mask[p] = source row of tap k is inside
+    the image for target row p.  Rows are (b, y, x) flattened; cross-image
+    wraps are exactly the out-of-range (y, x) positions, so one mask covers
+    both image borders and batch boundaries."""
+    rows = block_b * hw
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    y = (r % hw) // width
+    x = r % width
+    masks = []
+    for k in range(9):
+        oy, ox = k // 3 - 1, k % 3 - 1
+        ys, xs = y + oy, x + ox
+        masks.append(
+            (ys >= 0) & (ys < height) & (xs >= 0) & (xs < width)
+        )
+    return masks
+
+
+def _conv_taps(h: jax.Array, w_ref, masks, width: int, f32=jnp.float32):
+    """sum_k shift_k(h) * mask_k @ W[k] — the 3x3 SAME conv as 9 MXU matmuls."""
+    acc = None
+    for k in range(9):
+        oy, ox = k // 3 - 1, k % 3 - 1
+        shifted = _shift_rows(h, oy * width + ox)
+        masked = jnp.where(masks[k], shifted, jnp.zeros_like(shifted))
+        part = jax.lax.dot_general(
+            masked, w_ref[k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _gates_fwd(gates: jax.Array, c: jax.Array, f: int):
+    i_, f_, g_, o_ = (
+        gates[:, :f], gates[:, f:2 * f], gates[:, 2 * f:3 * f], gates[:, 3 * f:]
+    )
+    i_ = jax.nn.sigmoid(i_)
+    f_ = jax.nn.sigmoid(f_ + 1.0)
+    g_ = jnp.tanh(g_)
+    o_ = jax.nn.sigmoid(o_)
+    c_new = f_ * c + i_ * g_
+    h_new = o_ * jnp.tanh(c_new)
+    gates_act = jnp.concatenate([i_, f_, g_, o_], axis=1)
+    return c_new, h_new, gates_act
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    xg_ref, w_ref, c0_ref, h0_ref, hs_ref, cs_ref, ga_ref, c_s, h_s,
+    *, height, width, feat, block_b,
+):
+    t = pl.program_id(1)
+    hw = height * width
+    rows = block_b * hw
+
+    @pl.when(t == 0)
+    def _init():
+        c_s[:] = c0_ref[:].reshape(rows, feat).astype(jnp.float32)
+        h_s[:] = h0_ref[:].reshape(rows, feat).astype(jnp.float32)
+
+    masks = _tap_masks(block_b, hw, width, height)
+    h_mat = h_s[:].astype(w_ref.dtype)
+    gates = xg_ref[:].reshape(rows, 4 * feat).astype(jnp.float32)
+    gates += _conv_taps(h_mat, w_ref, masks, width)
+    c_new, h_new, gates_act = _gates_fwd(gates, c_s[:], feat)
+    c_s[:] = c_new
+    h_s[:] = h_new
+    hs_ref[:] = h_new.reshape(hs_ref.shape).astype(hs_ref.dtype)
+    cs_ref[:] = c_new.reshape(cs_ref.shape).astype(cs_ref.dtype)
+    # Post-activation gates saved as backward residuals: the BPTT kernel then
+    # skips the whole gate-recompute conv (a third of its matmul FLOPs) at the
+    # cost of one extra streamed write/read — a clear trade at these shapes.
+    ga_ref[:] = gates_act.reshape(ga_ref.shape).astype(ga_ref.dtype)
+
+
+def _pick_block_b(batch: int, cap: int = 32) -> int:
+    for b in range(min(batch, cap), 0, -1):
+        if batch % b == 0:
+            return b
+    return 1
+
+
+def _fwd_impl(xg, w, c0, h0, height, width, t_out, const_input, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    batch, t_in, hw, f4 = xg.shape
+    feat = f4 // 4
+    block_b = _pick_block_b(batch)
+    nb = batch // block_b
+    grid = (nb, t_out)
+
+    xg_index = (
+        (lambda b, t: (b, 0, 0, 0)) if const_input
+        else (lambda b, t: (b, t, 0, 0))
+    )
+    kernel = functools.partial(
+        _fwd_kernel, height=height, width=width, feat=feat, block_b=block_b
+    )
+    flops_step = 2 * batch * hw * 9 * feat * 4 * feat
+    hs, cs, gates = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, 1, hw, f4), xg_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, feat, f4), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, 1, hw, feat), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, hw, feat), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, hw, 4 * feat), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_out, hw, feat), xg.dtype),
+            jax.ShapeDtypeStruct((batch, t_out, hw, feat), xg.dtype),
+            jax.ShapeDtypeStruct((batch, t_out, hw, 4 * feat), xg.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=t_out * flops_step,
+            bytes_accessed=t_out * (xg.dtype.itemsize * batch * hw * (4 + 2) * feat),
+            transcendentals=t_out * batch * hw * 5 * feat,
+        ),
+        # Production shapes (B=64 blocks) want ~26 MB of scoped VMEM — above
+        # the 16 MB default but comfortably inside the chip's physical VMEM
+        # (128 MB on v5e); big blocks = big MXU contractions per step.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xg, w, c0, h0)
+    return hs, cs, gates
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    wt_ref, c0_ref, h0_ref, hsp_ref, csp_ref, cst_ref, ga_ref,
+    dhs_ref, dcl_ref,
+    dxg_ref, dw_ref, dc0_ref, dh0_ref,
+    dc_s, dh_s,
+    *, height, width, feat, block_b, t_total, const_input,
+):
+    b_i = pl.program_id(0)
+    i = pl.program_id(1)          # 0 .. T-1, walking time BACKWARD
+    t = t_total - 1 - i           # actual time step
+    hw = height * width
+    rows = block_b * hw
+    f32 = jnp.float32
+
+    @pl.when(i == 0)
+    def _init_carry():
+        dh_s[:] = jnp.zeros((rows, feat), f32)
+        dc_s[:] = dcl_ref[:].reshape(rows, feat).astype(f32)
+
+    @pl.when((b_i == 0) & (i == 0))
+    def _init_dw():
+        dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    masks = _tap_masks(block_b, hw, width, height)
+
+    # Residuals: previous state (h0/c0 at t == 0, else stored step t-1) and
+    # the forward's saved post-activation gates — no gate recompute.
+    is_first = t == 0
+    h_prev = jnp.where(
+        is_first,
+        h0_ref[:].reshape(rows, feat).astype(f32),
+        hsp_ref[:].reshape(rows, feat).astype(f32),
+    )
+    c_prev = jnp.where(
+        is_first,
+        c0_ref[:].reshape(rows, feat).astype(f32),
+        csp_ref[:].reshape(rows, feat).astype(f32),
+    )
+    c_t = cst_ref[:].reshape(rows, feat).astype(f32)
+    ga = ga_ref[:].reshape(rows, 4 * feat).astype(f32)
+    i_ = ga[:, :feat]
+    f_ = ga[:, feat:2 * feat]
+    g_ = ga[:, 2 * feat:3 * feat]
+    o_ = ga[:, 3 * feat:]
+
+    # Upstream: dh from the per-step cotangent + the recurrent carry;
+    # dc only from the carry (the c-chain cotangent enters once via dc_last).
+    dh = dh_s[:] + dhs_ref[:].reshape(rows, feat).astype(f32)
+    dc = dc_s[:]
+
+    tanh_ct = jnp.tanh(c_t)
+    do = dh * tanh_ct
+    dct = dc + dh * o_ * (1.0 - tanh_ct * tanh_ct)
+    di = dct * g_
+    dg = dct * i_
+    df = dct * c_prev
+    dc_prev = dct * f_
+
+    dgates = jnp.concatenate(
+        [
+            di * i_ * (1.0 - i_),
+            df * f_ * (1.0 - f_),
+            dg * (1.0 - g_ * g_),
+            do * o_ * (1.0 - o_),
+        ],
+        axis=1,
+    )
+
+    # d xg_t = dgates (identity path through the + in gates = xg + conv(h)).
+    if const_input:
+        @pl.when(i == 0)
+        def _init_dxg():
+            dxg_ref[:] = jnp.zeros(dxg_ref.shape, dxg_ref.dtype)
+        dxg_ref[:] += dgates.reshape(dxg_ref.shape).astype(dxg_ref.dtype)
+    else:
+        dxg_ref[:] = dgates.reshape(dxg_ref.shape).astype(dxg_ref.dtype)
+
+    # dh_prev = transpose of (mask . shift) conv: shift back the masked dgates.
+    dg_mat = dgates.astype(wt_ref.dtype)
+    dh_prev = None
+    for k in range(9):
+        oy, ox = k // 3 - 1, k % 3 - 1
+        part = jax.lax.dot_general(
+            jnp.where(masks[k], dg_mat, jnp.zeros_like(dg_mat)),
+            wt_ref[k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        part = _shift_rows(part, -(oy * width + ox))
+        dh_prev = part if dh_prev is None else dh_prev + part
+
+    # dW[k] += (mask_k . shift_k(h_prev))^T @ dgates, accumulated across the
+    # whole grid in the VMEM-resident dw block (constant index map).
+    h_prev_m = h_prev.astype(wt_ref.dtype)
+    for k in range(9):
+        oy, ox = k // 3 - 1, k % 3 - 1
+        shifted = _shift_rows(h_prev_m, oy * width + ox)
+        masked = jnp.where(masks[k], shifted, jnp.zeros_like(shifted))
+        dw_ref[k] += jax.lax.dot_general(
+            masked, dg_mat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    dh_s[:] = dh_prev
+    dc_s[:] = dc_prev
+
+    @pl.when(i == t_total - 1)
+    def _final():
+        dh0_ref[:] = dh_prev.reshape(dh0_ref.shape).astype(dh0_ref.dtype)
+        dc0_ref[:] = dc_prev.reshape(dc0_ref.shape).astype(dc0_ref.dtype)
+
+
+def _bwd_impl(
+    w, c0, h0, hs, cs, gates, dhs, dc_last,
+    height, width, t_out, const_input, interpret, xg_t_in, xg_dtype,
+):
+    if interpret is None:
+        interpret = _interpret_default()
+    batch, _, hw, f4 = gates.shape
+    feat = f4 // 4
+    block_b = _pick_block_b(batch)
+    nb = batch // block_b
+    grid = (nb, t_out)
+    t_total = t_out
+
+    wt = jnp.swapaxes(w, 1, 2)  # (9, 4F, F)
+
+    def rev(b, i):
+        return (b, t_total - 1 - i, 0, 0)
+
+    def rev_prev(b, i):
+        # Block t-1 clamped at 0; the kernel switches to h0/c0 when t == 0.
+        return (b, jnp.maximum(t_total - 2 - i, 0), 0, 0)
+
+    dxg_index = (lambda b, i: (b, 0, 0, 0)) if const_input else rev
+
+    kernel = functools.partial(
+        _bwd_kernel, height=height, width=width, feat=feat,
+        block_b=block_b, t_total=t_total, const_input=const_input,
+    )
+    bspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    flops_step = 2 * 2 * batch * hw * 9 * feat * 4 * feat
+    dxg, dw, dc0, dh0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bspec((9, f4, feat), lambda b, i: (0, 0, 0)),   # w^T
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
+            bspec((block_b, 1, hw, feat), rev_prev),   # hs[t-1]
+            bspec((block_b, 1, hw, feat), rev_prev),   # cs[t-1]
+            bspec((block_b, 1, hw, feat), rev),        # cs[t]
+            bspec((block_b, 1, hw, f4), rev),          # gates[t] (saved)
+            bspec((block_b, 1, hw, feat), rev),        # dhs[t]
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),  # dc_last
+        ],
+        out_specs=(
+            bspec((block_b, 1, hw, f4), dxg_index),
+            bspec((9, feat, f4), lambda b, i: (0, 0, 0)),
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
+        ),
+        out_shape=(
+            # const-input dxg accumulates over all T steps -> keep it f32.
+            jax.ShapeDtypeStruct(
+                (batch, xg_t_in if const_input else t_out, hw, f4),
+                jnp.float32 if const_input else xg_dtype,
+            ),
+            jax.ShapeDtypeStruct((9, feat, f4), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hw, feat), c0.dtype),
+            jax.ShapeDtypeStruct((batch, hw, feat), h0.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=t_out * flops_step,
+            bytes_accessed=t_out * (gates.dtype.itemsize * batch * hw * 12 * feat),
+            transcendentals=t_out * batch * hw * feat,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(wt, c0, h0, hs, cs, cs, gates, dhs, dc_last)
+    return dxg.astype(xg_dtype), dw.astype(w.dtype), dc0, dh0
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper + public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _scan(xg, w, c0, h0, height, width, t_out, const_input, interpret):
+    hs, cs, _ = _fwd_impl(xg, w, c0, h0, height, width, t_out, const_input, interpret)
+    return hs, cs[:, -1]
+
+
+def _scan_fwd(xg, w, c0, h0, height, width, t_out, const_input, interpret):
+    hs, cs, gates = _fwd_impl(
+        xg, w, c0, h0, height, width, t_out, const_input, interpret
+    )
+    # xg itself is NOT a residual: the saved post-activation gates carry
+    # everything the backward needs (dxg == pre-activation dgates).
+    res = (w, c0, h0, hs, cs, gates)
+    return (hs, cs[:, -1]), res
+
+
+def _scan_bwd(height, width, t_out, const_input, interpret, res, cot):
+    w, c0, h0, hs, cs, gates = res
+    dhs, dc_last = cot
+    dhs = dhs.astype(hs.dtype)
+    dc_last = dc_last.astype(c0.dtype)
+    # Static facts, re-derived (never routed through residuals, which trace):
+    # xg had t_in == 1 iff const_input; its dtype equals the fwd outputs'.
+    xg_t_in = 1 if const_input else t_out
+    dxg, dw, dc0, dh0 = _bwd_impl(
+        w, c0, h0, hs, cs, gates, dhs, dc_last,
+        height, width, t_out, const_input, interpret, xg_t_in, hs.dtype,
+    )
+    return dxg, dw, dc0, dh0
+
+
+_scan.defvjp(_scan_fwd, _scan_bwd)
+
+
+def convlstm_scan_pallas(
+    xg: jax.Array,
+    w: jax.Array,
+    c0: jax.Array,
+    h0: jax.Array,
+    *,
+    length: int | None = None,
+    interpret: bool | None = None,
+) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+    """Run the full ConvLSTM hidden recurrence as one fused Pallas kernel.
+
+    Args:
+      xg: (B, T, H, W, 4F) hoisted input projections (bias included), or
+          (B, 1, H, W, 4F) with `length=T` for a time-constant input (the
+          decoder's z-token) — the constant block is then read once per step
+          straight from VMEM, never materialized T times.
+      w:  (3, 3, F, 4F) hidden conv kernel (HWIO, same as flax nn.Conv).
+      c0, h0: (B, H, W, F) initial state.
+
+    Returns ((c_T, h_T), hs) with hs (B, T, H, W, F) — the same contract as
+    `models.convlstm.ConvLSTM.__call__`.  Differentiable wrt all tensor args.
+    """
+    batch, t_in, height, width, f4 = xg.shape
+    feat = f4 // 4
+    t_out = length or t_in
+    const_input = t_in == 1 and t_out > 1
+    xg2 = xg.reshape(batch, t_in, height * width, f4)
+    w2 = w.reshape(9, feat, f4)
+    c02 = c0.reshape(batch, height * width, feat)
+    h02 = h0.reshape(batch, height * width, feat)
+    hs, c_last = _scan(
+        xg2, w2, c02, h02, height, width, t_out, const_input, interpret
+    )
+    hs = hs.reshape(batch, t_out, height, width, feat)
+    c_T = c_last.reshape(batch, height, width, feat).astype(c0.dtype)
+    h_T = hs[:, -1]
+    return (c_T, h_T), hs

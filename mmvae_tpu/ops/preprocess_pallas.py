@@ -89,3 +89,89 @@ def preprocess_pallas(
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), u8.reshape(rows, cols))
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Packed-input variant: int32 resident rows -> f32, unpack fused in-kernel
+# ---------------------------------------------------------------------------
+
+
+def _packed_kernel(seed_ref, w_ref, out_ref, *, binarize):
+    i = pl.program_id(0)
+    # In-kernel byte unpack of the chunk-planar layout (data.transforms
+    # .pack_resident): pltpu.repeat TILE-repeats the 128-word block along the
+    # lane axis ([w w w w] — verified on-chip; it is NOT element-interleave),
+    # so lane c sees word c%128; shifting by 8*(c//128) selects byte c//128,
+    # which in the planar packing IS original byte c.  Zero cross-lane data
+    # movement.  This replaces the XLA bitcast->u8 + retiling reshape, which
+    # profiled at >1.2 ms/step on the production batch (the u8 (32,128)
+    # tiling forces a full relayout).
+    w = w_ref[:]
+    cols = w.shape[1]
+    rep = pltpu.repeat(w, 4, axis=1)  # (rows, 4*cols): [w w w w]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
+    byte = jax.lax.shift_right_logical(
+        pltpu.bitcast(rep, jnp.uint32), ((lane // cols) * 8).astype(jnp.uint32)
+    )
+    pix = (pltpu.bitcast(byte, jnp.int32) & 0xFF).astype(jnp.float32)
+    if binarize:
+        pltpu.prng_seed(seed_ref[0], i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(rep.shape), jnp.int32)
+        u24 = jax.lax.shift_right_logical(bits, 8)
+        thresh = pix * (float(1 << 24) / 255.0)
+        out_ref[:] = (u24.astype(jnp.float32) < thresh).astype(jnp.float32)
+    else:
+        out_ref[:] = pix * (1.0 / 255.0)
+
+
+def preprocess_packed_pallas(
+    packed: jax.Array,
+    seed: jax.Array,
+    sample_shape,
+    *,
+    binarize: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """int32-packed resident rows (B, bytes/4) -> f32 (B, *sample_shape).
+
+    Fuses the byte unpack with normalize/Bernoulli-binarize in one pass —
+    the packed rows are read straight from the resident-gather output, and
+    no uint8 tensor ever materializes in HBM.  Matches
+    `preprocess_pallas(unpack_sample(packed))` in distribution (exactly, for
+    binarize=False).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out_shape = (packed.shape[0],) + tuple(sample_shape)
+    if interpret:
+        # XLA fallback off-TPU: bitcast unpack + the jnp preprocess path.
+        from mmvae_tpu.data import transforms
+
+        u8 = transforms.unpack_sample(packed, sample_shape)
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(()))
+        return transforms.preprocess(u8, rng=key if binarize else None)
+    if packed.ndim != 2:
+        raise ValueError(f"packed rows must be 2-D, got {packed.shape}")
+    n = packed.size
+    cols = _LANE
+    if n % cols:
+        raise ValueError(f"packed size {n} not divisible by {cols}")
+    rows = n // cols
+    block_rows = min(_BLOCK_ROWS, rows)
+    while rows % block_rows:
+        block_rows //= 2
+    grid = rows // block_rows
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, binarize=binarize),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, 4 * cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, 4 * cols), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), packed.reshape(rows, cols))
+    return out.reshape(out_shape)

@@ -29,8 +29,14 @@ from mmvae_tpu.train.state import TrainState, create_train_state
 Metrics = Dict[str, jax.Array]
 
 
-def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
-    """loss_fn(params, batch_u8, seed, beta=1.0) -> (loss/sample, metrics).
+def make_loss_fn(
+    model, *, binarize: bool, use_pallas: Optional[bool], resident_shape=None
+):
+    """loss_fn(params, batch, seed, beta=1.0) -> (loss/sample, metrics).
+
+    `batch` is uint8 frames, or int32-packed resident rows (then
+    `resident_shape` gives one sample's uint8 shape and the byte unpack fuses
+    into the preprocess kernel — no u8 tensor ever materializes in HBM).
 
     Loss convention matches the reference (SURVEY.md section 5 metrics note):
     BCE reduction='sum' + KL sum, divided by batch size -> sum-per-sample.
@@ -40,8 +46,27 @@ def make_loss_fn(model, *, binarize: bool, use_pallas: Optional[bool]):
 
     def loss_fn(params, batch_u8, seed, beta=1.0):
         pallas = use_pallas or (use_pallas is None and jax.default_backend() == "tpu")
+        packed = batch_u8.dtype == jnp.int32
         with jax.named_scope("preprocess"):
-            if pallas and batch_u8.size % 128 == 0:
+            if packed and pallas:
+                from mmvae_tpu.ops.preprocess_pallas import preprocess_packed_pallas
+                from mmvae_tpu.ops.seeds import STREAM_PREPROCESS, stream_seed
+
+                x = preprocess_packed_pallas(
+                    batch_u8,
+                    stream_seed(seed, STREAM_PREPROCESS),
+                    resident_shape,
+                    binarize=binarize,
+                )
+            elif packed:
+                # XLA path: bitcast unpack + threefry binarize, with the same
+                # RNG derivation the streaming u8 path uses (golden-pinned).
+                u8 = transforms.unpack_sample(batch_u8, resident_shape)
+                key = jax.random.PRNGKey(seed)
+                x = transforms.preprocess(
+                    u8, rng=jax.random.fold_in(key, 7) if binarize else None
+                )
+            elif pallas and batch_u8.size % 128 == 0:
                 # fused u8->f32 normalize(+binarize) with on-core PRNG
                 from mmvae_tpu.ops.preprocess_pallas import preprocess_pallas
                 from mmvae_tpu.ops.seeds import STREAM_PREPROCESS, stream_seed
@@ -100,9 +125,12 @@ def make_train_step(
     uint8 shape of ONE sample, e.g. (20, 64, 64) clips or (64, 64) frames
     (defaults from `per_frame`).
     """
-    loss_fn = make_loss_fn(model, binarize=binarize, use_pallas=use_pallas)
     if resident_batch is not None and resident_shape is None:
         resident_shape = (64, 64) if per_frame else (20, 64, 64)
+    loss_fn = make_loss_fn(
+        model, binarize=binarize, use_pallas=use_pallas,
+        resident_shape=resident_shape,
+    )
 
     def step(state: TrainState, data: jax.Array):
         # int32 LCG-style mix of the step counter (wraparound is fine for seeds)
@@ -115,8 +143,9 @@ def make_train_step(
             row_idx = jax.random.randint(
                 key, (resident_batch,), 0, data.shape[0]
             )
-            packed = data.at[row_idx].get(mode="promise_in_bounds")
-            batch_u8 = transforms.unpack_sample(packed, resident_shape)
+            # Packed int32 rows go straight to the loss; the byte unpack is
+            # fused into the preprocess kernel (or its XLA fallback).
+            batch_u8 = data.at[row_idx].get(mode="promise_in_bounds")
         else:
             batch_u8 = data
         beta_t = jnp.float32(beta)

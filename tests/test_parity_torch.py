@@ -7,6 +7,8 @@ reparameterization, and a ConvLSTM cell step.  This pins the loss convention
 to the one the reference's curves used (BCE sum + KL sum).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -18,6 +20,24 @@ import torch.nn.functional as F  # noqa: E402
 
 from mmvae_tpu.ops import elbo_parts_ref  # noqa: E402
 from mmvae_tpu.ops.elbo_pallas import elbo_reduce_pallas  # noqa: E402
+
+# On the real chip (MMVAE_TEST_TPU=1) two platform effects need accounting:
+# the MXU's default f32 matmul/conv path is reduced-precision (bf16 passes),
+# and VPU transcendentals (exp/sigmoid/tanh) differ from libm in the last
+# ulps.  The parity claim under test is *formula equivalence with torch*, a
+# platform-independent statement — so force full-precision matmuls and widen
+# elementwise tolerances by the transcendental delta only.
+_ON_TPU = bool(os.environ.get("MMVAE_TEST_TPU"))
+_EW_ATOL = 2e-5 if _ON_TPU else 1e-6  # elementwise (transcendental) tolerance
+_CELL_ATOL = 5e-5 if _ON_TPU else 1e-5   # one conv + gate chain
+_SCAN_ATOL = 1e-4 if _ON_TPU else 2e-5   # T-step recurrence accumulation
+_CURVE_RTOL = 5e-3 if _ON_TPU else 2e-3  # 25-step Adam loss curve
+
+
+@pytest.fixture(autouse=True)
+def _full_precision_matmuls():
+    with jax.default_matmul_precision("highest"):
+        yield
 
 
 class TestELBOvsTorch:
@@ -56,7 +76,7 @@ class TestELBOvsTorch:
         j_grad = jax.grad(
             lambda l: elbo_parts_ref(l, jnp.asarray(x), jnp.zeros((3, 2)), jnp.zeros((3, 2)))[0]
         )(jnp.asarray(logits))
-        np.testing.assert_allclose(np.asarray(j_grad), t_grad, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_grad), t_grad, atol=_EW_ATOL)
 
     def test_reparameterize_formula(self, rng):
         """Same eps => same z in both frameworks (z = mu + exp(0.5 lv) * eps)."""
@@ -69,7 +89,7 @@ class TestELBOvsTorch:
             + torch.exp(0.5 * torch.from_numpy(lv)) * torch.from_numpy(eps)
         ).numpy()
         j_z = jnp.asarray(mu) + jnp.exp(0.5 * jnp.asarray(lv)) * jnp.asarray(eps)
-        np.testing.assert_allclose(np.asarray(j_z), t_z, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_z), t_z, atol=_EW_ATOL)
 
 
 class TestTrainingCurveParity:
@@ -150,7 +170,7 @@ class TestTrainingCurveParity:
             t_opt.step()
             torch_losses.append(float(tloss))
 
-        np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3)
+        np.testing.assert_allclose(jax_losses, torch_losses, rtol=_CURVE_RTOL)
 
 
 class TestConvLSTMvsTorch:
@@ -198,12 +218,12 @@ class TestConvLSTMvsTorch:
         np.testing.assert_allclose(
             np.asarray(c1),
             c_new.permute(0, 2, 3, 1).detach().numpy(),
-            atol=1e-5,
+            atol=_CELL_ATOL,
         )
         np.testing.assert_allclose(
             np.asarray(h1),
             h_new.permute(0, 2, 3, 1).detach().numpy(),
-            atol=1e-5,
+            atol=_CELL_ATOL,
         )
 
 
@@ -536,8 +556,8 @@ class TestConcatConvLSTMScanParity:
             h = torch.sigmoid(o) * torch.tanh(c)
 
         np.testing.assert_allclose(
-            np.asarray(h_j), h.permute(0, 2, 3, 1).detach().numpy(), atol=2e-5
+            np.asarray(h_j), h.permute(0, 2, 3, 1).detach().numpy(), atol=_SCAN_ATOL
         )
         np.testing.assert_allclose(
-            np.asarray(c_j), c.permute(0, 2, 3, 1).detach().numpy(), atol=2e-5
+            np.asarray(c_j), c.permute(0, 2, 3, 1).detach().numpy(), atol=_SCAN_ATOL
         )

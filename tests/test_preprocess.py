@@ -6,8 +6,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mmvae_tpu.data.transforms import normalize
-from mmvae_tpu.ops.preprocess_pallas import preprocess_pallas
+from mmvae_tpu.data.transforms import normalize, pack_resident
+from mmvae_tpu.ops.preprocess_pallas import (
+    preprocess_packed_pallas,
+    preprocess_pallas,
+)
 
 
 class TestPreprocessPallas:
@@ -46,3 +49,48 @@ class TestPreprocessPallas:
     def test_indivisible_size_raises(self):
         with pytest.raises(ValueError):
             preprocess_pallas(jnp.zeros((3, 9), jnp.uint8), jnp.int32(0), binarize=False)
+
+
+class TestPreprocessPackedPallas:
+    """int32-packed variant: byte unpack fused into the kernel.
+
+    On CPU these exercise the documented XLA fallback; with MMVAE_TEST_TPU=1
+    they exercise the in-kernel lane unpack (repeat + lane-indexed shift) on
+    the real chip — `test_normalize_matches_unpack` is then an EXACT check of
+    the byte-order semantics against the bitcast path."""
+
+    def _packed(self, rng, n=4, shape=(8, 64, 64)):
+        u8 = rng.integers(0, 256, (n,) + shape, dtype=np.uint8)
+        return jnp.asarray(pack_resident(u8)), jnp.asarray(u8), shape
+
+    def test_normalize_matches_unpack(self, rng):
+        packed, u8, shape = self._packed(rng)
+        out = preprocess_packed_pallas(packed, jnp.int32(0), shape, binarize=False)
+        assert out.shape == u8.shape
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(normalize(u8)))
+
+    def test_binarize_distribution(self, rng):
+        u8 = np.full((8, 4, 64, 64), 77, np.uint8)
+        packed = jnp.asarray(pack_resident(u8))
+        out = preprocess_packed_pallas(packed, jnp.int32(3), (4, 64, 64))
+        vals = np.unique(np.asarray(out))
+        assert set(vals) <= {0.0, 1.0}
+        assert abs(float(out.mean()) - 77 / 255) < 0.02
+
+    def test_binarize_extremes(self):
+        u8 = np.concatenate(
+            [np.zeros((1, 64, 64), np.uint8), np.full((1, 64, 64), 255, np.uint8)]
+        )
+        packed = jnp.asarray(pack_resident(u8[:, None]))
+        out = preprocess_packed_pallas(packed, jnp.int32(1), (1, 64, 64))
+        assert float(out[0].sum()) == 0.0
+        assert float(out[1].mean()) == 1.0
+
+    def test_seed_changes_draw(self):
+        u8 = np.full((8, 1, 64, 64), 128, np.uint8)
+        packed = jnp.asarray(pack_resident(u8))
+        a = preprocess_packed_pallas(packed, jnp.int32(1), (1, 64, 64))
+        b = preprocess_packed_pallas(packed, jnp.int32(1), (1, 64, 64))
+        c = preprocess_packed_pallas(packed, jnp.int32(2), (1, 64, 64))
+        assert jnp.array_equal(a, b)
+        assert not jnp.array_equal(a, c)
