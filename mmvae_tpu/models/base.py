@@ -76,12 +76,19 @@ class ConvDecoder(nn.Module):
       WITHOUT the depth-to-space relayout (6-D transposes are memory-bound
       losers on TPU; measured 3.6x-fewer-FLOP shuffle variants ran slower
       than 4x4 transpose).  Crucially, NO multi-channel tensor ever exists at
-      full resolution: the 3x3 spatial mixing runs at HALF resolution and the
-      last 2x2 transpose emits 1-channel logits directly.  Profiling the
-      round-1 layout (mixing conv at 64x64 over 32 channels) showed the
-      decoder's full-res activations dominated the whole train step — 38% of
-      device time, including 20 ms/30-step of pure `reverse` (conv-backward
-      activation flips over 670 MB tensors).
+      full resolution, and the 3x3 spatial mixing runs right after the FIRST
+      upsample (16x16 for the production grid) where channels are widest:
+      same mixing FLOPs as mixing later, but a deeper MXU contraction
+      (K = 9*128 vs 9*64), 4x less conv-backward `reverse` relayout traffic,
+      and the following 2x2 transposes run on narrower tensors.  History:
+      round-1 mixed at full 64x64 (decoder = 38% of device time, 20 ms/30-
+      step of pure `reverse` flips over 670 MB tensors); round-2 moved it to
+      half-res (+32%); round-3 profiling showed the 32x32 mixing backward
+      still cost ~1.7 ms/step and moved it here.
+    - "fast_hq": same 2x2-transpose skeleton but with the 3x3 mixing at HALF
+      resolution (the round-2 layout).  ~14% slower end-to-end than "fast"
+      but reaches a ~6% better train ELBO at 20k steps (measured: 3170 vs
+      3359 sum/sample) — the quality knob when throughput is not the goal.
     - "transpose": classic 4x4/stride-2 ConvTranspose (the reference-era
       layout, kept for the per-frame Conv VAE's architectural parity).
     """
@@ -94,15 +101,29 @@ class ConvDecoder(nn.Module):
     def __call__(self, h: jax.Array) -> jax.Array:
         h = h.astype(self.dtype)
         if self.upsample == "fast":
+            chs = list(self.channels)
+            h = nn.ConvTranspose(chs[0], (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+            h = nn.relu(h)
+            # Cross-cell spatial mixing, once, as early (= narrow + wide-
+            # channel) as possible.
+            mix_ch = chs[1] if len(chs) > 1 else chs[0]
+            h = nn.relu(
+                nn.Conv(mix_ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
+            )
+            for ch in chs[2:]:
+                h = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+                h = nn.relu(h)
+            # Final upsample straight to 1-channel logits: the only full-res
+            # tensor in the decoder is the logits themselves.
+            logits = nn.ConvTranspose(1, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+            return logits.astype(jnp.float32)
+        if self.upsample == "fast_hq":
             for ch in self.channels[:-1]:
                 h = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
                 h = nn.relu(h)
-            # Cross-cell spatial mixing at half resolution (cheap: 1/4 pixels).
             h = nn.relu(
                 nn.Conv(self.channels[-1], (3, 3), padding="SAME", dtype=self.dtype)(h)
             )
-            # Final upsample straight to 1-channel logits: the only full-res
-            # tensor in the decoder is the logits themselves.
             logits = nn.ConvTranspose(1, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
             return logits.astype(jnp.float32)
         for ch in self.channels:

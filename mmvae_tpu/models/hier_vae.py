@@ -64,6 +64,7 @@ class HierVideoVAE(nn.Module):
     unroll: int = 1  # chunk-scan unroll factor for both ConvLSTMs
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
     fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
+    dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_hq | transpose
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -95,7 +96,8 @@ class HierVideoVAE(nn.Module):
             unroll=self.unroll, gate_dtype=gate_dtype, fused=self.fused,
         )
         self.frame_dec = ConvDecoder(
-            tuple(reversed(self.enc_channels)), dtype=self.dtype
+            tuple(reversed(self.enc_channels)), dtype=self.dtype,
+            upsample=self.dec_upsample,
         )
 
     # -- encoding ----------------------------------------------------------

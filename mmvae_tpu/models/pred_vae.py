@@ -41,6 +41,7 @@ class PredSeqVAE(nn.Module):
     unroll: int = 1  # time-scan unroll factor for both ConvLSTMs
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
     fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
+    dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_hq | transpose
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -59,7 +60,8 @@ class PredSeqVAE(nn.Module):
             gate_dtype=gate_dtype, fused=self.fused,
         )
         self.frame_dec = ConvDecoder(
-            tuple(reversed(self.enc_channels)), dtype=self.dtype
+            tuple(reversed(self.enc_channels)), dtype=self.dtype,
+            upsample=self.dec_upsample,
         )
 
     def encode_context(self, ctx: jax.Array):

@@ -42,6 +42,7 @@ class ConvLSTMSeqVAE(nn.Module):
     unroll: int = 1  # time-scan unroll factor for both ConvLSTMs
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
     fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
+    dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_hq | transpose
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -66,7 +67,8 @@ class ConvLSTMSeqVAE(nn.Module):
             gate_dtype=gate_dtype, fused=self.fused,
         )
         self.frame_dec = ConvDecoder(
-            tuple(reversed(self.enc_channels)), dtype=self.dtype
+            tuple(reversed(self.enc_channels)), dtype=self.dtype,
+            upsample=self.dec_upsample,
         )
 
     def encode_features(self, x: jax.Array) -> jax.Array:

@@ -42,7 +42,12 @@ def _full_precision_matmuls():
 
 class TestELBOvsTorch:
     @pytest.mark.parametrize("shape", [(4, 64, 64), (2, 20, 64, 64)])
-    def test_bce_kl_forward(self, rng, shape):
+    def test_bce_kl_forward(self, shape):
+        # Local generator: the shared session `rng` fixture's draw sequence
+        # depends on which tests ran before, and this check's 2e-6 rtol is
+        # tight enough that ordering changed the verdict (f32 sum of ~5M
+        # terms).  A pinned stream makes it order-independent.
+        rng = np.random.default_rng(11)
         logits = rng.normal(size=shape).astype(np.float32) * 2
         x = (rng.uniform(size=shape) < 0.4).astype(np.float32)
         mu = rng.normal(size=(shape[0], 16)).astype(np.float32)
