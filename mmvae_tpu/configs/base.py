@@ -148,10 +148,19 @@ def config_seq_vae() -> Config:
         # reduction stay f32 (see models.base docstring).  unroll=T fully
         # unrolls the 20-step time scan (XLA schedules the whole chain, keeps
         # cell state in VMEM: +17% measured); gate_bf16 runs the pointwise
-        # gate math + cell state in bf16 (+5%).
+        # gate math + cell state in bf16 (+5%).  enc_x_kernel=1 makes the
+        # encoder LSTM's input projection a pure matmul (+15% end-to-end;
+        # the 3x3 projection was the step's largest op group) at a measured
+        # ~3% train-ELBO cost at 20k steps.  The quality ladder, each one
+        # override away (docs/RESULTS.md):
+        #   --set model.kwargs.enc_x_kernel=3           (+ELBO, -13% fps)
+        #   --set model.kwargs.dec_upsample=fast_hq     (+ELBO, -12% fps)
         model=ModelConfig(
             name="seq_vae",
-            kwargs={"latent_dim": 128, "unroll": 20, "gate_bf16": True},
+            kwargs={
+                "latent_dim": 128, "unroll": 20, "gate_bf16": True,
+                "enc_x_kernel": 1,
+            },
             dtype="bfloat16",
         ),
     )
@@ -164,7 +173,10 @@ def config_pred_vae() -> Config:
         data=DataConfig(batch_size=64, seq_len=20),
         model=ModelConfig(
             name="pred_vae",
-            kwargs={"context_len": 10, "unroll": 10, "gate_bf16": True},
+            kwargs={
+                "context_len": 10, "unroll": 10, "gate_bf16": True,
+                "enc_x_kernel": 1,
+            },
             dtype="bfloat16",
         ),
     )
@@ -181,6 +193,7 @@ def config_hier_vae() -> Config:
             name="hier_vae",
             kwargs={
                 "chunk_len": 10, "remat": True, "gate_bf16": True, "unroll": 10,
+                "enc_x_kernel": 1,
             },
             dtype="bfloat16",
         ),

@@ -148,6 +148,13 @@ class ConvLSTM(nn.Module):
     # Single fused Pallas kernel for the whole time scan; None = auto (fused
     # on TPU, lax.scan elsewhere — same convention as ops.dispatch).
     fused: Optional[bool] = None
+    # Input-projection kernel size; None = same as `kernel`.  (1, 1) turns
+    # conv_x into a pure matmul — 9x fewer input-projection FLOPs; the
+    # hidden conv still mixes spatially every step.  Profiled: the 3x3
+    # input projection is the single largest op group of the flagship train
+    # step (2.05 ms, 244 GF); see configs.base for the measured quality
+    # trade.
+    x_kernel: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(
@@ -166,7 +173,7 @@ class ConvLSTM(nn.Module):
         # Hoisted input projection: one conv over all B*T_in frames.
         flat = xs.reshape(b * t_in, *xs.shape[2:]).astype(self.dtype)
         xg = nn.Conv(
-            4 * self.features, self.kernel, padding="SAME",
+            4 * self.features, self.x_kernel or self.kernel, padding="SAME",
             dtype=self.dtype, name="input",
         )(flat)
         xg = xg.reshape(b, t_in, *xg.shape[1:])

@@ -65,6 +65,7 @@ class HierVideoVAE(nn.Module):
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
     fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
     dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_hq | transpose
+    enc_x_kernel: int = 3  # chunk LSTM input-projection kernel (1 = matmul)
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -74,6 +75,7 @@ class HierVideoVAE(nn.Module):
         self.chunk_lstm = ConvLSTM(
             f, name="chunk_lstm", dtype=self.dtype, remat=self.remat,
             unroll=self.unroll, gate_dtype=gate_dtype, fused=self.fused,
+            x_kernel=(self.enc_x_kernel, self.enc_x_kernel),
         )
         self.chunk_proj = nn.Dense(self.chunk_feature, dtype=jnp.float32)
         # Global posterior over mean-pooled chunk features.

@@ -42,6 +42,7 @@ class PredSeqVAE(nn.Module):
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
     fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
     dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_hq | transpose
+    enc_x_kernel: int = 3  # encoder LSTM input-projection kernel (1 = matmul)
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -51,6 +52,7 @@ class PredSeqVAE(nn.Module):
             self.lstm_features, name="enc_lstm",
             dtype=self.dtype, remat=self.remat, unroll=self.unroll,
             gate_dtype=gate_dtype, fused=self.fused,
+            x_kernel=(self.enc_x_kernel, self.enc_x_kernel),
         )
         self.head = GaussianHead(self.latent_dim)
         self.z_to_token = nn.Dense(self.grid * self.grid * 16, dtype=jnp.float32)

@@ -43,6 +43,7 @@ class ConvLSTMSeqVAE(nn.Module):
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
     fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
     dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_hq | transpose
+    enc_x_kernel: int = 3  # encoder LSTM input-projection kernel (1 = matmul)
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -52,6 +53,7 @@ class ConvLSTMSeqVAE(nn.Module):
             self.lstm_features, name="enc_lstm",
             dtype=self.dtype, remat=self.remat, unroll=self.unroll,
             gate_dtype=gate_dtype, fused=self.fused,
+            x_kernel=(self.enc_x_kernel, self.enc_x_kernel),
         )
         self.head = GaussianHead(self.latent_dim)
         # z -> initial decoder state (c, h) and a per-step input token.
