@@ -216,7 +216,7 @@ def _bwd_kernel(
     wt_ref, c0_ref, h0_ref, hsp_ref, csp_ref, cst_ref, ga_ref,
     dhs_ref, dcl_ref,
     dxg_ref, dw_ref, dc0_ref, dh0_ref,
-    dc_s, dh_s,
+    dc_s, dh_s, dxg_s,
     *, height, width, feat, block_b, t_total, const_input,
 ):
     b_i = pl.program_id(0)
@@ -282,10 +282,17 @@ def _bwd_kernel(
 
     # d xg_t = dgates (identity path through the + in gates = xg + conv(h)).
     if const_input:
+        # Accumulate in f32 scratch and store ONCE at the end: a revisited
+        # output block would serialize against its own flush and defeat
+        # store double-buffering (measured slower).
         @pl.when(i == 0)
         def _init_dxg():
-            dxg_ref[:] = jnp.zeros(dxg_ref.shape, dxg_ref.dtype)
-        dxg_ref[:] += dgates.reshape(dxg_ref.shape).astype(dxg_ref.dtype)
+            dxg_s[:] = jnp.zeros(dxg_s.shape, dxg_s.dtype)
+        dxg_s[:] += dgates
+
+        @pl.when(i == t_total - 1)
+        def _store_dxg():
+            dxg_ref[:] = dxg_s[:].reshape(dxg_ref.shape).astype(dxg_ref.dtype)
     else:
         dxg_ref[:] = dgates.reshape(dxg_ref.shape).astype(dxg_ref.dtype)
 
@@ -388,6 +395,11 @@ def _bwd_impl(
         scratch_shapes=[
             pltpu.VMEM((block_b * hw, feat), jnp.float32),
             pltpu.VMEM((block_b * hw, feat), jnp.float32),
+            # dxg accumulator (const-input path); minimal when unused.
+            pltpu.VMEM(
+                (block_b * hw, 4 * feat) if const_input else (8, 128),
+                jnp.float32,
+            ),
         ],
         cost_estimate=pl.CostEstimate(
             flops=t_out * flops_step,

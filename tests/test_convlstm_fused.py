@@ -196,3 +196,21 @@ def test_block_b_divisor_handles_odd_batches(batch):
     (_, h_s), hs_s = scanned.apply(params, state0, xs)
     (_, h_f), hs_f = fused.apply(params, state0, xs)
     np.testing.assert_allclose(hs_f, hs_s, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("xk", [1, 3])
+def test_x_kernel_fused_matches_scan(xk):
+    """The input-projection kernel-size knob (x_kernel) must behave
+    identically through the fused Pallas path and the lax.scan path."""
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(
+        rng.normal(size=(2, 3, HW_SIDE, HW_SIDE, CIN)), jnp.float32
+    )
+    scanned = ConvLSTM(features=F, fused=False, x_kernel=(xk, xk))
+    fused = ConvLSTM(features=F, fused=True, x_kernel=(xk, xk))
+    state0 = ConvLSTMCell.initial_state(2, HW_SIDE, HW_SIDE, F)
+    params = scanned.init(jax.random.PRNGKey(0), state0, xs)
+    assert params["params"]["input"]["kernel"].shape == (xk, xk, CIN, 4 * F)
+    (_, h_s), hs_s = scanned.apply(params, state0, xs)
+    (_, h_f), hs_f = fused.apply(params, state0, xs)
+    np.testing.assert_allclose(hs_f, hs_s, rtol=2e-5, atol=2e-5)

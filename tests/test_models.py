@@ -238,3 +238,36 @@ class TestHierSpecifics:
         model, params, shape = inits["hier_vae"]
         out = model.apply(params, _x(shape), _sample_fn(jax.random.key(1)))
         assert float(out.extra_kl) >= 0.0
+
+
+class TestDecoderModes:
+    """ConvDecoder layout knob: all modes emit (N, 64, 64, 1) logits and
+    train; "fast_hq" reproduces the round-2 half-res-mixing layout."""
+
+    @pytest.mark.parametrize("mode", ["fast", "fast_hq", "transpose"])
+    def test_decoder_mode_shapes(self, mode):
+        import jax
+        import jax.numpy as jnp
+
+        from mmvae_tpu.models.base import ConvDecoder
+
+        m = ConvDecoder((16, 8, 4), upsample=mode)
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 16)))
+        out = m.apply(p, jnp.zeros((2, 8, 8, 16)))
+        assert out.shape == (2, 64, 64, 1)
+        assert out.dtype == jnp.float32
+
+    def test_seq_vae_dec_upsample_kwarg(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mmvae_tpu.models.seq_vae import ConvLSTMSeqVAE
+
+        m = ConvLSTMSeqVAE(
+            latent_dim=8, enc_channels=(4, 8), lstm_features=8,
+            dec_upsample="fast_hq", fused=False,
+        )
+        x = jnp.zeros((2, 3, 64, 64))
+        p = m.init(jax.random.PRNGKey(0), x, lambda mu, lv, salt=0: mu)
+        out = m.apply(p, x, lambda mu, lv, salt=0: mu)
+        assert out.logits.shape == (2, 3, 64, 64)
