@@ -65,6 +65,14 @@ def save(
     """Checkpoint `state` at `step`; async unless `wait` (final/preemption)."""
     mngr = _manager(directory)
     if step in (mngr.all_steps() or ()):  # already saved (e.g. final == periodic)
+        # The step may still be COMMITTING on orbax's background thread (the
+        # final save of a run whose last step is a checkpoint_every multiple
+        # lands here).  Returning without draining it lets the process reach
+        # interpreter teardown mid-commit — observed as "cannot schedule new
+        # futures after shutdown" from the commit thread and a torn final
+        # checkpoint.  Honor `wait` on this path too.
+        if wait:
+            mngr.wait_until_finished()
         return
     mngr.save(
         step, args=ocp.args.StandardSave(_dynamic(state, data_step)), force=force

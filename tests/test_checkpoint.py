@@ -143,3 +143,37 @@ class TestSigtermCheckpoint:
         )
         _, step, data_step = ckpt.restore_latest(ckdir, template)
         assert step > 0 and data_step == step
+
+
+def test_final_save_of_periodic_step_drains_async_commit(tmp_path, monkeypatch):
+    """A run whose last step is a checkpoint_every multiple issues an ASYNC
+    save and then a final wait=True save of the SAME step.  The final save
+    must still drain the in-flight background commit (returning early without
+    waiting let the process exit mid-commit: torn checkpoint + 'cannot
+    schedule new futures after shutdown' from orbax's commit thread)."""
+    import jax
+
+    from mmvae_tpu.models import MLPVAE
+    from mmvae_tpu.configs.base import OptimConfig
+    from mmvae_tpu.train import checkpoint as ckpt
+    from mmvae_tpu.train.state import create_train_state
+
+    import jax.numpy as jnp
+
+    state = create_train_state(
+        MLPVAE(latent_dim=4, hidden_dim=8), OptimConfig(),
+        jax.random.PRNGKey(0), (2, 64, 64),
+    )
+    state = state.replace(step=jnp.asarray(5, jnp.int32))
+    d = str(tmp_path / "ck")
+    ckpt.save(d, state, 5, data_step=5)          # periodic async save
+    mngr = ckpt._manager(d)
+    waited = []
+    orig = mngr.wait_until_finished
+    monkeypatch.setattr(
+        mngr, "wait_until_finished", lambda: (waited.append(1), orig())[1]
+    )
+    ckpt.save(d, state, 5, data_step=5, force=True, wait=True)  # final save
+    assert waited, "final wait=True save skipped wait_until_finished"
+    restored, step, data_step = ckpt.restore_latest(d, state)
+    assert step == 5 and data_step == 5
