@@ -172,10 +172,20 @@ class ConvLSTM(nn.Module):
             fused = jax.default_backend() == "tpu" and not (t_in == 1 and t > 1)
         # Hoisted input projection: one conv over all B*T_in frames.
         flat = xs.reshape(b * t_in, *xs.shape[2:]).astype(self.dtype)
+        xk = self.x_kernel or self.kernel
+        if xk == (1, 1):
+            # Fold spatial into batch so XLA lowers a plain (N*H*W, C) x
+            # (C, 4F) matmul instead of a 1x1 "conv" (which inherited the
+            # conv stack's spatial layout and measured 48 TF/s vs the
+            # matmul path); kernel shape (1, 1, C, 4F) is unchanged.
+            spatial = flat.shape[1:3]
+            flat = flat.reshape(-1, 1, 1, flat.shape[-1])
         xg = nn.Conv(
-            4 * self.features, self.x_kernel or self.kernel, padding="SAME",
+            4 * self.features, xk, padding="SAME",
             dtype=self.dtype, name="input",
         )(flat)
+        if xk == (1, 1):
+            xg = xg.reshape(b * t_in, *spatial, xg.shape[-1])
         xg = xg.reshape(b, t_in, *xg.shape[1:])
         if fused:
             from mmvae_tpu.ops.convlstm_pallas import convlstm_scan_pallas
