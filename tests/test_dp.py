@@ -256,3 +256,43 @@ class TestShardedEval:
         cfg.train.eval_batches = 1
         _, history = fit(cfg)
         assert any("val_loss" in h for h in history)
+
+
+def test_fused_kernels_under_shard_map(eight_devices):
+    """The fused Pallas ConvLSTM runs per-shard inside shard_map on real
+    multi-chip meshes (auto policy enables it on TPU).  The single dev chip
+    can't exercise that combination, so force fused=True on the fake mesh
+    (interpret mode) and assert the DP step matches the scanned path."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from mmvae_tpu.models.seq_vae import ConvLSTMSeqVAE
+
+    mesh = pmesh.make_mesh(eight_devices)
+    kwargs = dict(latent_dim=8, enc_channels=(4, 8), lstm_features=8,
+                  image_size=32)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((16, 3, 32, 32)), jnp.float32
+    )
+
+    def dp_loss(model):
+        params = model.init(
+            jax.random.PRNGKey(0), x[:2], lambda m, v, salt=0: m
+        )
+
+        def shard(p, xs):
+            out = model.apply(p, xs, lambda m, v, salt=0: m)
+            loss = jnp.sum(jax.nn.sigmoid(out.logits) ** 2) + jnp.sum(out.mu**2)
+            return jax.lax.pmean(loss, pmesh.DATA_AXIS)
+
+        return jax.jit(
+            jax.shard_map(
+                shard, mesh=mesh,
+                in_specs=(P(), P(pmesh.DATA_AXIS)),
+                out_specs=P(), check_vma=False,
+            )
+        )(params, x)
+
+    l_scan = float(dp_loss(ConvLSTMSeqVAE(fused=False, **kwargs)))
+    l_fused = float(dp_loss(ConvLSTMSeqVAE(fused=True, **kwargs)))
+    np.testing.assert_allclose(l_fused, l_scan, rtol=1e-4)
