@@ -27,8 +27,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped and pinned: a session-scoped generator makes each test's
+    # data depend on which tests ran before it, so tight f32 tolerances pass
+    # or fail based on subset/ordering (reproduced: test_elbo's big1-small1
+    # case at rtol=1e-6 flips when run after test_data).  Fresh per test ==
+    # order-independent.
     return np.random.default_rng(0)
 
 

@@ -40,7 +40,10 @@ class TestElboReduce:
         lv = _rand(rng, small, 0.5)
         b_ref, k_ref = elbo_parts_ref(logits, x, mu, lv)
         b_p, k_p = jax.jit(elbo_reduce_pallas)(logits, x, mu, lv)
-        np.testing.assert_allclose(float(b_p), float(b_ref), rtol=1e-6)
+        # The BCE is an f32 sum of up to ~131k O(1) terms; kernel and oracle
+        # accumulate in different orders, so the defensible tolerance is
+        # ~sqrt(N)*eps_f32 ~= 4e-5 relative worst-case — 5e-6 observed-max.
+        np.testing.assert_allclose(float(b_p), float(b_ref), rtol=5e-6)
         np.testing.assert_allclose(float(k_p), float(k_ref), rtol=1e-5)
 
     @pytest.mark.parametrize("big,small", SHAPES[:2])
