@@ -22,6 +22,11 @@ class DataConfig:
     binarize: bool = True               # stochastic Bernoulli binarization
     device_resident: Optional[bool] = None  # dataset lives in HBM; None = auto
     device_resident_max_bytes: int = 4 << 30  # auto threshold
+    # Resident-mode batch sampling: False = uniform with replacement (one
+    # on-device randint, the throughput default); True = shuffled epochs
+    # without replacement (reference/streaming semantics: an in-graph
+    # per-epoch permutation, each row exactly once per epoch).
+    resident_epochs: bool = False
     train_fraction: float = 0.9
     prefetch_depth: int = 2
     seed: int = 0

@@ -18,6 +18,8 @@ from typing import Iterator, Optional
 
 import jax
 
+from mmvae_tpu.parallel.mesh import put_global
+
 _SENTINEL = object()
 
 
@@ -52,12 +54,11 @@ class DeviceFeed:
                 if self._stop.is_set():
                     return
                 # device_put is async: returns immediately, transfer overlaps
-                # with the device's current step. uint8 on the wire.
-                dev = (
-                    jax.device_put(batch, self._sharding)
-                    if self._sharding is not None
-                    else jax.device_put(batch)
-                )
+                # with the device's current step. uint8 on the wire.  Under
+                # multi-process DP the loader yields process-LOCAL batches;
+                # put_global assembles them into the global sharded array
+                # (device_put alone would double-shard — see parallel.mesh).
+                dev = put_global(batch, self._sharding)
                 while not self._stop.is_set():
                     try:
                         self._q.put(dev, timeout=0.1)

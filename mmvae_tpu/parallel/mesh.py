@@ -39,6 +39,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(batch, sharding: Optional[NamedSharding]):
+    """Place a process-LOCAL host batch as (its shard of) the GLOBAL array.
+
+    Single-process: plain async `device_put` under `sharding`.  Multi-process:
+    `device_put(local, global_sharding)` would treat the local batch as the
+    full global array and re-shard it across ALL processes — mis-assembled
+    data (each process's rows scattered) or an addressability error.  The
+    correct assembly is `jax.make_array_from_process_local_data`, which maps
+    each process's rows onto its own mesh slots; global row index becomes
+    process_index * local_rows + local_row (mesh built from `jax.devices()`,
+    which orders devices by process).
+    """
+    if sharding is None:
+        return jax.device_put(batch)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(batch)
+        )
+    return jax.device_put(batch, sharding)
+
+
 def dp_step(
     step_fn: Callable,
     mesh: Mesh,

@@ -29,6 +29,36 @@ from mmvae_tpu.train.state import TrainState, create_train_state
 Metrics = Dict[str, jax.Array]
 
 
+def resident_row_indices(
+    step: jax.Array,
+    n_rows: int,
+    batch: int,
+    seed_base: int,
+    shard_index: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Shuffled-epoch batch indices for the device-resident path (in-graph).
+
+    Streaming/reference semantics — each row exactly once per epoch, a fresh
+    permutation every epoch — computed entirely on device from the step
+    counter: epoch = step // steps_per_epoch keys a `jax.random.permutation`
+    of the (per-shard) rows, and the step's slice of it is the batch.  The
+    n_rows-element sort is negligible next to a train step.  `shard_index`
+    decorrelates shard-local permutations under data parallelism.
+    """
+    steps_per_epoch = n_rows // batch
+    assert steps_per_epoch >= 1, (
+        f"resident epoch sampling needs n_rows ({n_rows}) >= batch ({batch})"
+    )
+    step = step.astype(jnp.int32)
+    epoch = step // steps_per_epoch
+    pos = (step % steps_per_epoch) * batch
+    key = jax.random.fold_in(jax.random.PRNGKey(seed_base), epoch)
+    if shard_index is not None:
+        key = jax.random.fold_in(key, shard_index)
+    perm = jax.random.permutation(key, n_rows)
+    return jax.lax.dynamic_slice(perm, (pos,), (batch,))
+
+
 def make_loss_fn(
     model, *, binarize: bool, use_pallas: Optional[bool], resident_shape=None
 ):
@@ -59,13 +89,17 @@ def make_loss_fn(
                     binarize=binarize,
                 )
             elif packed:
-                # XLA path: bitcast unpack + threefry binarize, with the same
-                # RNG derivation the streaming u8 path uses (golden-pinned).
+                # XLA path: bitcast unpack + threefry binarize.  One unified
+                # off-core derivation — PRNGKey(stream_seed(...)) — shared
+                # with the Pallas kernels' interpret fallbacks, so every
+                # non-on-core backend draws the SAME binarize noise.  Only
+                # the distribution (not the draw) matches the on-chip kernel,
+                # whose on-core PRNG is a different generator.
+                from mmvae_tpu.ops.seeds import STREAM_PREPROCESS, stream_seed
+
                 u8 = transforms.unpack_sample(batch_u8, resident_shape)
-                key = jax.random.PRNGKey(seed)
-                x = transforms.preprocess(
-                    u8, rng=jax.random.fold_in(key, 7) if binarize else None
-                )
+                key = jax.random.PRNGKey(stream_seed(seed, STREAM_PREPROCESS))
+                x = transforms.preprocess(u8, rng=key if binarize else None)
             elif pallas and batch_u8.size % 128 == 0:
                 # fused u8->f32 normalize(+binarize) with on-core PRNG
                 from mmvae_tpu.ops.preprocess_pallas import preprocess_pallas
@@ -75,10 +109,11 @@ def make_loss_fn(
                     batch_u8, stream_seed(seed, STREAM_PREPROCESS), binarize=binarize
                 )
             else:
-                key = jax.random.PRNGKey(seed)
-                x = transforms.preprocess(
-                    batch_u8, rng=jax.random.fold_in(key, 7) if binarize else None
-                )
+                # Same unified derivation as the packed XLA path above.
+                from mmvae_tpu.ops.seeds import STREAM_PREPROCESS, stream_seed
+
+                key = jax.random.PRNGKey(stream_seed(seed, STREAM_PREPROCESS))
+                x = transforms.preprocess(batch_u8, rng=key if binarize else None)
         with jax.named_scope("model_fwd"):
             out = model.apply(params, x, ops.make_sample_fn(seed, use_pallas))
         with jax.named_scope("elbo_reduce"):
@@ -109,6 +144,8 @@ def make_train_step(
     per_frame: bool = False,
     beta: float = 1.0,
     kl_warmup_steps: int = 0,
+    resident_epochs: bool = False,
+    resident_seed: int = 0,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Metrics]]:
     """Build step(state, batch_u8_or_dataset) -> (state, metrics).
 
@@ -135,14 +172,24 @@ def make_train_step(
     def step(state: TrainState, data: jax.Array):
         # int32 LCG-style mix of the step counter (wraparound is fine for seeds)
         seed = state.step.astype(jnp.int32) * jnp.int32(1103515245) + jnp.int32(12345)
+        idx = None
         if axis_name is not None:
             idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
             seed = seed + idx * jnp.int32(1000003)
         if resident_batch is not None:
-            key = jax.random.PRNGKey(seed)
-            row_idx = jax.random.randint(
-                key, (resident_batch,), 0, data.shape[0]
-            )
+            if resident_epochs:
+                # Shuffled epochs without replacement (streaming semantics).
+                row_idx = resident_row_indices(
+                    state.step, data.shape[0], resident_batch, resident_seed,
+                    shard_index=idx,
+                )
+            else:
+                # Uniform with replacement: one on-device randint, the
+                # throughput default (documented in docs/RESULTS.md).
+                key = jax.random.PRNGKey(seed)
+                row_idx = jax.random.randint(
+                    key, (resident_batch,), 0, data.shape[0]
+                )
             # Packed int32 rows go straight to the loss; the byte unpack is
             # fused into the preprocess kernel (or its XLA fallback).
             batch_u8 = data.at[row_idx].get(mode="promise_in_bounds")
@@ -284,6 +331,8 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         per_frame=cfg.data.per_frame,
         beta=cfg.optim.beta,
         kl_warmup_steps=cfg.optim.kl_warmup_steps,
+        resident_epochs=cfg.data.resident_epochs,
+        resident_seed=cfg.data.seed,
     )
     if use_dp:
         inner = make_train_step(model, axis_name=pmesh.DATA_AXIS, **step_kwargs)
@@ -320,13 +369,34 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     else:
         # Fast-forward the seeded stream past batches a prior run consumed
         # (data_step from the checkpoint), so resume == uninterrupted.
+        # Multi-process: the loader rows are already per-process disjoint
+        # (C1 host shard), so each process draws its LOCAL slice of the
+        # global batch and the feed assembles the global sharded array via
+        # parallel.mesh.put_global — batch_size stays GLOBAL, as in resident
+        # mode.
+        n_proc = jax.process_count()
+        local_bs = cfg.data.batch_size
+        if n_proc > 1:
+            if not use_dp:
+                raise ValueError(
+                    "multi-process streaming requires train.data_parallel"
+                )
+            local_bs = cfg.data.batch_size // n_proc
+            n_local = len(device_mesh.local_devices)
+            if local_bs * n_proc != cfg.data.batch_size or (
+                n_local and local_bs % n_local
+            ):
+                raise ValueError(
+                    f"batch_size {cfg.data.batch_size} must divide "
+                    f"process_count ({n_proc}) x local devices ({n_local})"
+                )
         host_iter = (
             dataset.frame_batches(
-                cfg.data.batch_size, seed=cfg.data.seed, skip_batches=data_step
+                local_bs, seed=cfg.data.seed, skip_batches=data_step
             )
             if cfg.data.per_frame
             else dataset.batches(
-                cfg.data.batch_size, seed=cfg.data.seed, skip_batches=data_step
+                local_bs, seed=cfg.data.seed, skip_batches=data_step
             )
         )
 
@@ -358,9 +428,16 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
             if cfg.data.per_frame
             else len(val_dataset)
         )
-        vbs = min(cfg.data.batch_size, avail)
+        vbs = min(cfg.data.batch_size // max(jax.process_count(), 1), avail)
         if use_dp:
-            vbs -= vbs % n_dev
+            # vbs is the PER-PROCESS contribution; it must divide this
+            # process's local devices (single-process: the whole mesh).
+            div = (
+                len(device_mesh.local_devices)
+                if jax.process_count() > 1
+                else n_dev
+            )
+            vbs -= vbs % max(div, 1)
         if vbs == 0:
             return {}
         it = (
@@ -370,7 +447,9 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         )
         acc, n = None, 0
         for _, vb in zip(range(cfg.train.eval_batches), it):
-            vb_dev = jax.device_put(vb, sharding) if use_dp else jax.device_put(vb)
+            vb_dev = (
+                pmesh.put_global(vb, sharding) if use_dp else jax.device_put(vb)
+            )
             m = eval_step(params, vb_dev, jnp.int32(n))
             m = {k: float(np.asarray(v)) for k, v in m.items()}
             acc = m if acc is None else {k: acc[k] + m[k] for k in m}

@@ -1,0 +1,116 @@
+"""Child process for tests/test_multiprocess.py — NOT a pytest module.
+
+Runs as one of two JAX processes (2 local CPU devices each, 4 global) and
+exercises the multi-process streaming data path end-to-end:
+
+  loader per-process shard -> DeviceFeed -> put_global assembly ->
+  shard_map DP train step -> sharded eval step.
+
+Asserts the assembled global batch holds exactly this process's local rows at
+the expected global offsets (the round-1 double-sharding bug put them
+elsewhere or crashed).  Exit code 0 == all assertions passed.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def main(process_id: int, port: int) -> None:
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=process_id,
+    )
+    assert jax.process_count() == 2
+    assert jax.device_count() == 4 and jax.local_device_count() == 2
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mmvae_tpu.data.feed import DeviceFeed
+    from mmvae_tpu.data.loader import MovingMNIST, generate_moving_mnist
+    from mmvae_tpu.parallel import mesh as pmesh
+    from mmvae_tpu.train.loop import make_eval_step, make_train_step
+    from mmvae_tpu.train.state import create_train_state
+    from mmvae_tpu.models import MODEL_REGISTRY
+
+    GLOBAL_BATCH, T, HW = 8, 4, 64
+    local_bs = GLOBAL_BATCH // jax.process_count()
+
+    # Both processes generate the same full dataset; the loader shards rows
+    # per process (process 0: rows 0,2,4..., process 1: rows 1,3,5...).
+    data = generate_moving_mnist(16, seq_len=T, seed=0)
+    ds = MovingMNIST(
+        data=data,
+        train_fraction=1.0,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    device_mesh = pmesh.make_mesh()
+    sharding = pmesh.batch_sharding(device_mesh)
+
+    # --- streaming feed: assembled global batch == intended local slices ---
+    with DeviceFeed(
+        ds.batches(local_bs, seed=0, num_epochs=1), sharding=sharding
+    ) as feed:
+        gbatch = next(feed)
+    assert gbatch.shape == (GLOBAL_BATCH, T, HW, HW), gbatch.shape
+
+    # Reproduce what the loader yielded (deterministic seed).
+    expected_local = next(iter(ds.batches(local_bs, seed=0, num_epochs=1)))
+    p = jax.process_index()
+    for shard in gbatch.addressable_shards:
+        start = shard.index[0].start or 0
+        local_row = start - p * local_bs
+        rows = shard.data.shape[0]
+        assert 0 <= local_row and local_row + rows <= local_bs, (
+            f"process {p}: shard at global row {start} is outside this "
+            f"process's slice [{p * local_bs}, {(p + 1) * local_bs})"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), expected_local[local_row : local_row + rows]
+        )
+
+    # --- one DP train step through the feed's output ---
+    model = MODEL_REGISTRY["seq_vae"](
+        enc_channels=(8, 16), lstm_features=16, latent_dim=16
+    )
+    from mmvae_tpu.configs.base import OptimConfig
+
+    state = create_train_state(
+        model, OptimConfig(), jax.random.PRNGKey(0), (GLOBAL_BATCH, T, HW, HW)
+    )
+    state = jax.device_put(state, pmesh.replicated_sharding(device_mesh))
+    inner = make_train_step(
+        model, binarize=True, use_pallas=False, axis_name=pmesh.DATA_AXIS
+    )
+    step_fn = pmesh.dp_step(inner, device_mesh)
+    new_state, metrics = step_fn(state, gbatch)
+    loss = float(np.asarray(metrics["loss"]))
+    assert np.isfinite(loss), loss
+    assert int(np.asarray(new_state.step)) == 1
+
+    # --- sharded eval step through put_global (the run_eval path) ---
+    eval_step = make_eval_step(
+        model, binarize=True, use_pallas=False, mesh=device_mesh
+    )
+    vb = next(iter(ds.batches(local_bs, seed=1, num_epochs=1)))
+    m = eval_step(
+        new_state.params, pmesh.put_global(vb, sharding), jnp.int32(0)
+    )
+    ev = float(np.asarray(m["loss"]))
+    assert np.isfinite(ev), ev
+
+    print(f"process {p}: ok train={loss:.3f} eval={ev:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]))

@@ -110,6 +110,64 @@ def test_device_resident_per_clip():
     assert losses[-1] < losses[0]
 
 
+def test_resident_epoch_indices_cover_each_row_once():
+    """data.resident_epochs=True must give shuffled-epoch (no-replacement)
+    semantics: within one epoch every row appears exactly once, and epochs
+    reshuffle (VERDICT r1 item 7)."""
+    import jax.numpy as jnp
+
+    from mmvae_tpu.train.loop import resident_row_indices
+
+    n_rows, batch = 24, 6
+    steps_per_epoch = n_rows // batch
+    fn = jax.jit(
+        lambda s: resident_row_indices(s, n_rows, batch, seed_base=3)
+    )
+    epochs = []
+    for e in range(3):
+        rows = np.concatenate(
+            [
+                np.asarray(fn(jnp.int32(e * steps_per_epoch + k)))
+                for k in range(steps_per_epoch)
+            ]
+        )
+        assert sorted(rows.tolist()) == list(range(n_rows)), (
+            f"epoch {e} is not a permutation: {sorted(rows.tolist())}"
+        )
+        epochs.append(rows)
+    assert not np.array_equal(epochs[0], epochs[1]), "epochs did not reshuffle"
+    # per-shard decorrelation under DP
+    a = np.asarray(
+        jax.jit(
+            lambda s: resident_row_indices(
+                s, n_rows, batch, 3, shard_index=jnp.int32(0)
+            )
+        )(jnp.int32(0))
+    )
+    b = np.asarray(
+        jax.jit(
+            lambda s: resident_row_indices(
+                s, n_rows, batch, 3, shard_index=jnp.int32(1)
+            )
+        )(jnp.int32(0))
+    )
+    assert not np.array_equal(a, b)
+
+
+def test_device_resident_epoch_mode_trains():
+    from mmvae_tpu.train.loop import fit
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.data.device_resident = True
+    cfg.data.resident_epochs = True
+    cfg.train.steps = 30
+    cfg.train.log_every = 5
+    _, history = fit(cfg)
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mmvae_tpu.train import checkpoint as ckpt
     from mmvae_tpu.train.loop import build_model, fit, _sample_shape
