@@ -57,6 +57,11 @@ class ConvVAE(nn.Module):
         logits = self.decoder(h)  # one transpose conv per encoder stride
         return logits[..., 0]
 
+    def prior_logits(self, rng: jax.Array, batch: int, seq_len=None) -> jax.Array:
+        """Prior-sampling protocol (sample.generate.prior_sample): z ~ N(0,I)."""
+        z = jax.random.normal(rng, (batch, self.latent_dim), jnp.float32)
+        return self.decode(z)
+
     def __call__(self, x: jax.Array, sample_fn: SampleFn) -> VAEOutput:
         mu, logvar = self.encode(x)
         z = sample_fn(mu, logvar)

@@ -218,3 +218,7 @@ class HierVideoVAE(nn.Module):
             zs.append(z_prev)
         z_chunks = jnp.stack(zs, axis=1)  # (B, K, Lc)
         return self.decode_chunks(z_g, z_chunks)
+
+    def prior_logits(self, rng: jax.Array, batch: int, seq_len=None) -> jax.Array:
+        """Prior-sampling protocol: the learned autoregressive chunk prior."""
+        return self.generate(rng, batch, (seq_len or 100) // self.chunk_len)

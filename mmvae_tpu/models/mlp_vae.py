@@ -45,6 +45,11 @@ class MLPVAE(nn.Module):
         logits = self.dec_out(h.astype(jnp.float32))
         return logits.reshape(z.shape[0], self.image_size, self.image_size)
 
+    def prior_logits(self, rng: jax.Array, batch: int, seq_len=None) -> jax.Array:
+        """Prior-sampling protocol (sample.generate.prior_sample): z ~ N(0,I)."""
+        z = jax.random.normal(rng, (batch, self.latent_dim), jnp.float32)
+        return self.decode(z)
+
     def __call__(self, x: jax.Array, sample_fn: SampleFn) -> VAEOutput:
         mu, logvar = self.encode(x)
         z = sample_fn(mu, logvar)

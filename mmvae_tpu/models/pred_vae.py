@@ -95,6 +95,19 @@ class PredSeqVAE(nn.Module):
         logits = self.frame_dec(flat)[..., 0]
         return logits.reshape(b, n_future, self.image_size, self.image_size)
 
+    def prior_logits(self, rng: jax.Array, batch: int, seq_len=None) -> jax.Array:
+        """Prior-sampling protocol: z ~ N(0,I), rolled from a zero motion state.
+
+        Without context frames there is no encoder terminal state, so the
+        deterministic motion pathway starts from zeros and the frames are
+        shaped by the stochastic content pathway alone.
+        """
+        z = jax.random.normal(rng, (batch, self.latent_dim), jnp.float32)
+        state0 = ConvLSTMCell.initial_state(
+            batch, self.grid, self.grid, self.lstm_features, dtype=self.dtype
+        )
+        return self.rollout(state0, z, seq_len or self.context_len)
+
     def __call__(self, x: jax.Array, sample_fn: SampleFn) -> VAEOutput:
         ctx = x[:, : self.context_len]
         future = x[:, self.context_len :]

@@ -116,6 +116,11 @@ class ConvLSTMSeqVAE(nn.Module):
             logits = self.frame_dec(flat)[..., 0]  # batched deconv over B*t
         return logits.reshape(b, t, self.image_size, self.image_size)
 
+    def prior_logits(self, rng: jax.Array, batch: int, seq_len=None) -> jax.Array:
+        """Prior-sampling protocol (sample.generate.prior_sample): z ~ N(0,I)."""
+        z = jax.random.normal(rng, (batch, self.latent_dim), jnp.float32)
+        return self.decode(z, seq_len or 20)
+
     def __call__(self, x: jax.Array, sample_fn: SampleFn) -> VAEOutput:
         mu, logvar = self.encode(x)
         z = sample_fn(mu, logvar)

@@ -49,26 +49,19 @@ def prior_sample(
 ) -> np.ndarray:
     """Decode latents from the prior.
 
-    - per-frame / sequence VAEs: z ~ N(0, I) -> model.decode(z[, T]);
-    - hierarchical VAE: the learned autoregressive chunk prior
-      (`HierVideoVAE.generate`).
+    Dispatch is a protocol, not a type check: every model implements
+    `prior_logits(rng, batch, seq_len) -> logits` (z ~ N(0, I) for the flat
+    VAEs, the learned autoregressive chunk prior for the hierarchical one),
+    so subclasses and renamed models keep working.
     """
-    name = type(model).__name__
-    if name == "HierVideoVAE":
-        n_chunks = (seq_len or 100) // model.chunk_len
-        logits = model.apply(
-            params, rng, batch, n_chunks, method=model.generate
+    fn = getattr(model, "prior_logits", None)
+    if fn is None:
+        raise TypeError(
+            f"prior_sample: {type(model).__name__} does not implement the "
+            "prior-sampling protocol (a `prior_logits(rng, batch, seq_len)` "
+            "method returning frame logits)"
         )
-        return np.asarray(jax.nn.sigmoid(logits))
-    z = jax.random.normal(
-        rng, (batch, model.latent_dim), dtype=jnp.float32
-    )
-    if name in ("MLPVAE", "ConvVAE"):
-        logits = model.apply(params, z, method=model.decode)
-    elif name == "ConvLSTMSeqVAE":
-        logits = model.apply(params, z, seq_len or 20, method=model.decode)
-    else:
-        raise ValueError(f"prior_sample: unsupported model {name}")
+    logits = model.apply(params, rng, batch, seq_len, method=fn)
     return np.asarray(jax.nn.sigmoid(logits))
 
 
