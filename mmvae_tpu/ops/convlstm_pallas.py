@@ -144,6 +144,89 @@ def _fwd_kernel(
     ga_ref[:] = gates_act.reshape(ga_ref.shape).astype(ga_ref.dtype)
 
 
+def _fwd_kernel_nores(
+    xg_ref, w_ref, c0_ref, h0_ref, hs_ref, cl_ref, c_s, h_s,
+    *, height, width, feat, block_b,
+):
+    """Residual-free forward for the primal (non-differentiated) path.
+
+    Eval/inference calls don't feed a backward, so writing the (B, T, HW, 4F)
+    post-activation gates and the full (B, T, HW, F) cell-state history to HBM
+    is pure waste (~3x the kernel's output traffic).  This variant emits only
+    hs and the final cell state (one revisited block per batch tile, flushed
+    once).
+    """
+    t = pl.program_id(1)
+    hw = height * width
+    rows = block_b * hw
+
+    @pl.when(t == 0)
+    def _init():
+        c_s[:] = c0_ref[:].reshape(rows, feat).astype(jnp.float32)
+        h_s[:] = h0_ref[:].reshape(rows, feat).astype(jnp.float32)
+
+    masks = _tap_masks(block_b, hw, width, height)
+    h_mat = h_s[:].astype(w_ref.dtype)
+    gates = xg_ref[:].reshape(rows, 4 * feat).astype(jnp.float32)
+    gates += _conv_taps(h_mat, w_ref, masks, width)
+    c_new, h_new, _ = _gates_fwd(gates, c_s[:], feat)
+    c_s[:] = c_new
+    h_s[:] = h_new
+    hs_ref[:] = h_new.reshape(hs_ref.shape).astype(hs_ref.dtype)
+    cl_ref[:] = c_new.reshape(cl_ref.shape).astype(cl_ref.dtype)
+
+
+def _fwd_impl_nores(xg, w, c0, h0, height, width, t_out, const_input, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    batch, t_in, hw, f4 = xg.shape
+    feat = f4 // 4
+    block_b = _pick_block_b(batch)
+    nb = batch // block_b
+    grid = (nb, t_out)
+
+    xg_index = (
+        (lambda b, t: (b, 0, 0, 0)) if const_input
+        else (lambda b, t: (b, t, 0, 0))
+    )
+    kernel = functools.partial(
+        _fwd_kernel_nores, height=height, width=width, feat=feat, block_b=block_b
+    )
+    flops_step = 2 * batch * hw * 9 * feat * 4 * feat
+    hs, c_last = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, 1, hw, f4), xg_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, feat, f4), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, 1, hw, feat), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_out, hw, feat), xg.dtype),
+            jax.ShapeDtypeStruct((batch, hw, feat), xg.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=t_out * flops_step,
+            bytes_accessed=t_out * (xg.dtype.itemsize * batch * hw * (4 + 1) * feat),
+            transcendentals=t_out * batch * hw * 5 * feat,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xg, w, c0, h0)
+    return hs, c_last
+
+
 def _pick_block_b(batch: int, cap: int = 32) -> int:
     for b in range(min(batch, cap), 0, -1):
         if batch % b == 0:
@@ -421,8 +504,12 @@ def _bwd_impl(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _scan(xg, w, c0, h0, height, width, t_out, const_input, interpret):
-    hs, cs, _ = _fwd_impl(xg, w, c0, h0, height, width, t_out, const_input, interpret)
-    return hs, cs[:, -1]
+    # Primal-only path (no jax.grad will consume this call): use the
+    # residual-free forward — no gates / cell-state history written to HBM.
+    # Under differentiation jax runs _scan_fwd instead, which saves residuals.
+    return _fwd_impl_nores(
+        xg, w, c0, h0, height, width, t_out, const_input, interpret
+    )
 
 
 def _scan_fwd(xg, w, c0, h0, height, width, t_out, const_input, interpret):

@@ -92,9 +92,22 @@ def restore_latest(directory: str, template: TrainState) -> Tuple[TrainState, in
     latest = mngr.latest_step()
     if latest is None:
         return template, 0, 0
-    restored = mngr.restore(
-        latest, args=ocp.args.StandardRestore(_dynamic(template))
-    )
+    try:
+        restored = mngr.restore(
+            latest, args=ocp.args.StandardRestore(_dynamic(template))
+        )
+    except Exception as e:
+        # Migration hint: round 3 restructured the "fast" decoder layout (the
+        # 3x3 mixing conv moved after the first upsample); checkpoints trained
+        # under the old "fast" load only under its new name "fast_hq".  An
+        # orbax tree mismatch here is opaque without this pointer.
+        raise RuntimeError(
+            f"checkpoint restore failed: {e}\n\n"
+            "hint: if this checkpoint predates the round-3 decoder "
+            "layout change, its dec_upsample='fast' tree now corresponds to "
+            "dec_upsample='fast_hq' — retry with "
+            "--set model.kwargs.dec_upsample=fast_hq."
+        ) from e
     state = template.replace(
         step=restored["step"],
         params=restored["params"],
