@@ -156,10 +156,12 @@ def config_seq_vae() -> Config:
         # gate math + cell state in bf16 (+5%).  enc_x_kernel=1 makes the
         # encoder LSTM's input projection a pure matmul (+15% end-to-end;
         # the 3x3 projection was the step's largest op group) at a measured
-        # ~3% train-ELBO cost at 20k steps.  The quality ladder, each one
-        # override away (docs/RESULTS.md):
-        #   --set model.kwargs.enc_x_kernel=3           (+ELBO, -13% fps)
-        #   --set model.kwargs.dec_upsample=fast_hq     (+ELBO, -12% fps)
+        # ~3% train-ELBO cost at 20k steps.  The quality knob (measured
+        # fresh in round 4, docs/RESULTS.md):
+        #   --set model.kwargs.dec_upsample=fast_hq     (20k ELBO 3474->3128,
+        #       beats the historical best 3170, at -12% fps: 121k fenced)
+        # enc_x_kernel=3 on top costs a further -13% fps and buys NO
+        # additional ELBO at 20k (3161 vs 3128) — not a step worth taking.
         model=ModelConfig(
             name="seq_vae",
             kwargs={
