@@ -135,12 +135,11 @@ class ConvLSTM(nn.Module):
     one pallas_call with the cell state VMEM-resident and the 3x3 hidden conv
     as 9 MXU matmuls (fwd + hand-written BPTT backward).  Param tree and
     numerics are identical to the scanned form (tests/test_convlstm_fused.py)
-    — at the f32 defaults.  Caveat: the kernel always runs gate math + cell
-    state in f32 VMEM scratch and keeps its own forward residuals, so
-    `gate_dtype=bfloat16` and `remat=True` do not apply inside it.  With
-    `gate_bf16` production configs the fused path is therefore slightly MORE
-    precise than the scanned path it replaces (divergence is one-sided);
-    combining them explicitly warns once.
+    — at matching `gate_dtype` (the kernel honors it: pointwise gate chain +
+    VMEM cell-state scratch run in bf16 when selected, mirroring the scanned
+    path's gate_bf16 semantics; the dW/dxg accumulators stay f32).  Caveat:
+    the kernel keeps its own forward residuals, so `remat=True` does not
+    apply inside it (explicitly combining them warns once).
 
     Returns (final_state, hs[B, T, H, W, F]).
     """
@@ -194,15 +193,12 @@ class ConvLSTM(nn.Module):
             xg = xg.reshape(b * t_in, *spatial, xg.shape[-1])
         xg = xg.reshape(b, t_in, *xg.shape[1:])
         if fused:
-            if self.fused and (self.gate_dtype != jnp.float32 or self.remat):
+            if self.fused and self.remat:
                 import warnings
 
                 warnings.warn(
-                    "ConvLSTM(fused=True): the fused Pallas kernel computes "
-                    "gates/cell state in f32 scratch and stores its own "
-                    "residuals — gate_dtype/remat are ignored on this path "
-                    "(numerics differ from the lax.scan backend in the last "
-                    "bf16 bits).",
+                    "ConvLSTM(fused=True): the fused Pallas kernel keeps its "
+                    "own forward residuals — remat is ignored on this path.",
                     stacklevel=2,
                 )
             from mmvae_tpu.ops.convlstm_pallas import convlstm_scan_pallas
@@ -217,6 +213,7 @@ class ConvLSTM(nn.Module):
                 c0.astype(self.dtype),
                 h0.astype(self.dtype),
                 length=t,
+                gate_dtype=self.gate_dtype,
             )
         if t_in == 1 and t > 1:
             xg = jnp.broadcast_to(xg, (b, t) + xg.shape[2:])

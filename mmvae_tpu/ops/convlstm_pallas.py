@@ -81,30 +81,63 @@ def _tap_masks(block_b: int, hw: int, width: int, height: int):
     return masks
 
 
-def _conv_taps(h: jax.Array, w_ref, masks, width: int, f32=jnp.float32):
-    """sum_k shift_k(h) * mask_k @ W[k] — the 3x3 SAME conv as 9 MXU matmuls."""
+def _tap_stack(h: jax.Array, masks, width: int) -> jax.Array:
+    """(rows, F) -> (rows, 9F): the 9 masked shifted tap views, lane-stacked.
+
+    Feeding ONE (rows, 9F) x (9F, 4F) MXU contraction instead of 9 separate
+    (rows, F) x (F, 4F) matmuls amortizes matmul issue overhead and deepens
+    the contraction (K = 9F = 1152) — measured faster at these shapes."""
+    cols = []
+    for k in range(9):
+        oy, ox = k // 3 - 1, k % 3 - 1
+        shifted = _shift_rows(h, oy * width + ox)
+        cols.append(jnp.where(masks[k], shifted, jnp.zeros_like(shifted)))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _conv_taps(h: jax.Array, wf_ref, masks, width: int, out_dtype=jnp.float32):
+    """sum_k shift_k(h) * mask_k @ W[k] — the 3x3 SAME conv as 9 MXU matmuls.
+
+    wf_ref: (9F, 4F) flat kernel; tap k's slice is wf_ref[kF:(k+1)F].
+    Measured: per-tap matmuls beat one lane-stacked (rows, 9F) contraction
+    on the FORWARD (the concat serializes against the MXU), while the
+    backward's dW contraction wins lane-stacked (see _bwd_kernel)."""
+    feat = h.shape[1]
     acc = None
     for k in range(9):
         oy, ox = k // 3 - 1, k % 3 - 1
         shifted = _shift_rows(h, oy * width + ox)
         masked = jnp.where(masks[k], shifted, jnp.zeros_like(shifted))
         part = jax.lax.dot_general(
-            masked, w_ref[k],
+            masked, wf_ref[k * feat:(k + 1) * feat],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            # Mosaic requires 32-bit matmul accumulators; cast to the gate
+            # compute dtype only after the f32-accumulated sum.
+            preferred_element_type=jnp.float32,
         )
         acc = part if acc is None else acc + part
-    return acc
+    return acc.astype(out_dtype)
+
+
+def _sigmoid(x: jax.Array) -> jax.Array:
+    # jax.nn.sigmoid lowers with f32 literals that Mosaic refuses to
+    # broadcast into bf16 vectors; dtype-matched constants lower cleanly.
+    one = jnp.asarray(1.0, x.dtype)
+    return one / (one + jnp.exp(-x))
 
 
 def _gates_fwd(gates: jax.Array, c: jax.Array, f: int):
+    # Runs in gates.dtype — f32 by default, bf16 when the caller selects
+    # gate_dtype=bfloat16 (halves the VPU/scratch cost of the pointwise
+    # chain; matches the scanned path's gate_bf16 semantics).
+    one = jnp.asarray(1.0, gates.dtype)
     i_, f_, g_, o_ = (
         gates[:, :f], gates[:, f:2 * f], gates[:, 2 * f:3 * f], gates[:, 3 * f:]
     )
-    i_ = jax.nn.sigmoid(i_)
-    f_ = jax.nn.sigmoid(f_ + 1.0)
+    i_ = _sigmoid(i_)
+    f_ = _sigmoid(f_ + one)
     g_ = jnp.tanh(g_)
-    o_ = jax.nn.sigmoid(o_)
+    o_ = _sigmoid(o_)
     c_new = f_ * c + i_ * g_
     h_new = o_ * jnp.tanh(c_new)
     gates_act = jnp.concatenate([i_, f_, g_, o_], axis=1)
@@ -123,16 +156,17 @@ def _fwd_kernel(
     t = pl.program_id(1)
     hw = height * width
     rows = block_b * hw
+    cdt = c_s.dtype  # gate-compute dtype (f32 default, bf16 when selected)
 
     @pl.when(t == 0)
     def _init():
-        c_s[:] = c0_ref[:].reshape(rows, feat).astype(jnp.float32)
-        h_s[:] = h0_ref[:].reshape(rows, feat).astype(jnp.float32)
+        c_s[:] = c0_ref[:].reshape(rows, feat).astype(cdt)
+        h_s[:] = h0_ref[:].reshape(rows, feat).astype(cdt)
 
     masks = _tap_masks(block_b, hw, width, height)
     h_mat = h_s[:].astype(w_ref.dtype)
-    gates = xg_ref[:].reshape(rows, 4 * feat).astype(jnp.float32)
-    gates += _conv_taps(h_mat, w_ref, masks, width)
+    gates = xg_ref[:].reshape(rows, 4 * feat).astype(cdt)
+    gates += _conv_taps(h_mat, w_ref, masks, width, out_dtype=cdt)
     c_new, h_new, gates_act = _gates_fwd(gates, c_s[:], feat)
     c_s[:] = c_new
     h_s[:] = h_new
@@ -159,16 +193,17 @@ def _fwd_kernel_nores(
     t = pl.program_id(1)
     hw = height * width
     rows = block_b * hw
+    cdt = c_s.dtype  # gate-compute dtype (f32 default, bf16 when selected)
 
     @pl.when(t == 0)
     def _init():
-        c_s[:] = c0_ref[:].reshape(rows, feat).astype(jnp.float32)
-        h_s[:] = h0_ref[:].reshape(rows, feat).astype(jnp.float32)
+        c_s[:] = c0_ref[:].reshape(rows, feat).astype(cdt)
+        h_s[:] = h0_ref[:].reshape(rows, feat).astype(cdt)
 
     masks = _tap_masks(block_b, hw, width, height)
     h_mat = h_s[:].astype(w_ref.dtype)
-    gates = xg_ref[:].reshape(rows, 4 * feat).astype(jnp.float32)
-    gates += _conv_taps(h_mat, w_ref, masks, width)
+    gates = xg_ref[:].reshape(rows, 4 * feat).astype(cdt)
+    gates += _conv_taps(h_mat, w_ref, masks, width, out_dtype=cdt)
     c_new, h_new, _ = _gates_fwd(gates, c_s[:], feat)
     c_s[:] = c_new
     h_s[:] = h_new
@@ -176,7 +211,8 @@ def _fwd_kernel_nores(
     cl_ref[:] = c_new.reshape(cl_ref.shape).astype(cl_ref.dtype)
 
 
-def _fwd_impl_nores(xg, w, c0, h0, height, width, t_out, const_input, interpret):
+def _fwd_impl_nores(xg, w, c0, h0, height, width, t_out, const_input,
+                    interpret, gate_dtype=jnp.float32):
     if interpret is None:
         interpret = _interpret_default()
     batch, t_in, hw, f4 = xg.shape
@@ -198,7 +234,7 @@ def _fwd_impl_nores(xg, w, c0, h0, height, width, t_out, const_input, interpret)
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, 1, hw, f4), xg_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, feat, f4), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * feat, f4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -211,8 +247,8 @@ def _fwd_impl_nores(xg, w, c0, h0, height, width, t_out, const_input, interpret)
             jax.ShapeDtypeStruct((batch, hw, feat), xg.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_b * hw, feat), jnp.float32),
-            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+            pltpu.VMEM((block_b * hw, feat), gate_dtype),
+            pltpu.VMEM((block_b * hw, feat), gate_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=t_out * flops_step,
@@ -234,7 +270,8 @@ def _pick_block_b(batch: int, cap: int = 32) -> int:
     return 1
 
 
-def _fwd_impl(xg, w, c0, h0, height, width, t_out, const_input, interpret):
+def _fwd_impl(xg, w, c0, h0, height, width, t_out, const_input, interpret,
+              gate_dtype=jnp.float32):
     if interpret is None:
         interpret = _interpret_default()
     batch, t_in, hw, f4 = xg.shape
@@ -256,7 +293,7 @@ def _fwd_impl(xg, w, c0, h0, height, width, t_out, const_input, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, 1, hw, f4), xg_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, feat, f4), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * feat, f4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -271,8 +308,8 @@ def _fwd_impl(xg, w, c0, h0, height, width, t_out, const_input, interpret):
             jax.ShapeDtypeStruct((batch, t_out, hw, 4 * feat), xg.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_b * hw, feat), jnp.float32),
-            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+            pltpu.VMEM((block_b * hw, feat), gate_dtype),
+            pltpu.VMEM((block_b * hw, feat), gate_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=t_out * flops_step,
@@ -308,11 +345,17 @@ def _bwd_kernel(
     hw = height * width
     rows = block_b * hw
     f32 = jnp.float32
+    # The backward chain computes in f32 regardless of gate_dtype: TPU VPUs
+    # compute in f32 anyway (bf16 is a storage format), so a bf16 chain here
+    # just adds pack/unpack conversions — measured slower.  The forward DOES
+    # honor gate_dtype (bf16 scratch avoids per-step f32->bf16 converts of h
+    # before the MXU).
+    cdt = f32
 
     @pl.when(i == 0)
     def _init_carry():
-        dh_s[:] = jnp.zeros((rows, feat), f32)
-        dc_s[:] = dcl_ref[:].reshape(rows, feat).astype(f32)
+        dh_s[:] = jnp.zeros((rows, feat), cdt)
+        dc_s[:] = dcl_ref[:].reshape(rows, feat).astype(cdt)
 
     @pl.when((b_i == 0) & (i == 0))
     def _init_dw():
@@ -325,16 +368,16 @@ def _bwd_kernel(
     is_first = t == 0
     h_prev = jnp.where(
         is_first,
-        h0_ref[:].reshape(rows, feat).astype(f32),
-        hsp_ref[:].reshape(rows, feat).astype(f32),
+        h0_ref[:].reshape(rows, feat).astype(cdt),
+        hsp_ref[:].reshape(rows, feat).astype(cdt),
     )
     c_prev = jnp.where(
         is_first,
-        c0_ref[:].reshape(rows, feat).astype(f32),
-        csp_ref[:].reshape(rows, feat).astype(f32),
+        c0_ref[:].reshape(rows, feat).astype(cdt),
+        csp_ref[:].reshape(rows, feat).astype(cdt),
     )
-    c_t = cst_ref[:].reshape(rows, feat).astype(f32)
-    ga = ga_ref[:].reshape(rows, 4 * feat).astype(f32)
+    c_t = cst_ref[:].reshape(rows, feat).astype(cdt)
+    ga = ga_ref[:].reshape(rows, 4 * feat).astype(cdt)
     i_ = ga[:, :feat]
     f_ = ga[:, feat:2 * feat]
     g_ = ga[:, 2 * feat:3 * feat]
@@ -342,12 +385,13 @@ def _bwd_kernel(
 
     # Upstream: dh from the per-step cotangent + the recurrent carry;
     # dc only from the carry (the c-chain cotangent enters once via dc_last).
-    dh = dh_s[:] + dhs_ref[:].reshape(rows, feat).astype(f32)
+    dh = dh_s[:] + dhs_ref[:].reshape(rows, feat).astype(cdt)
     dc = dc_s[:]
 
+    one = jnp.asarray(1.0, cdt)
     tanh_ct = jnp.tanh(c_t)
     do = dh * tanh_ct
-    dct = dc + dh * o_ * (1.0 - tanh_ct * tanh_ct)
+    dct = dc + dh * o_ * (one - tanh_ct * tanh_ct)
     di = dct * g_
     dg = dct * i_
     df = dct * c_prev
@@ -355,10 +399,10 @@ def _bwd_kernel(
 
     dgates = jnp.concatenate(
         [
-            di * i_ * (1.0 - i_),
-            df * f_ * (1.0 - f_),
-            dg * (1.0 - g_ * g_),
-            do * o_ * (1.0 - o_),
+            di * i_ * (one - i_),
+            df * f_ * (one - f_),
+            dg * (one - g_ * g_),
+            do * o_ * (one - o_),
         ],
         axis=1,
     )
@@ -379,32 +423,35 @@ def _bwd_kernel(
     else:
         dxg_ref[:] = dgates.reshape(dxg_ref.shape).astype(dxg_ref.dtype)
 
-    # dh_prev = transpose of (mask . shift) conv: shift back the masked dgates.
+    # dh_prev = transpose of (mask . shift) conv.  ONE (rows, 4F) x (4F, 9F)
+    # matmul yields all 9 tap products at once (wt_ref is the flat transpose
+    # wtf[c, k*F+f] = W[k, f, c]); each (rows, F) slice is then masked and
+    # shifted back.  The row-wise mask commutes with the row-independent
+    # matmul ((mask . dg) @ Wt == mask . (dg @ Wt)), so masking the product
+    # slice costs 4x fewer VPU selects than masking the 4F-wide operand.
     dg_mat = dgates.astype(wt_ref.dtype)
+    part_all = jax.lax.dot_general(
+        dg_mat, wt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (rows, 9F); f32 MXU accumulation
     dh_prev = None
     for k in range(9):
         oy, ox = k // 3 - 1, k % 3 - 1
-        part = jax.lax.dot_general(
-            jnp.where(masks[k], dg_mat, jnp.zeros_like(dg_mat)),
-            wt_ref[k],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
+        part = part_all[:, k * feat:(k + 1) * feat]
+        part = jnp.where(masks[k], part, jnp.zeros_like(part))
         part = _shift_rows(part, -(oy * width + ox))
         dh_prev = part if dh_prev is None else dh_prev + part
 
-    # dW[k] += (mask_k . shift_k(h_prev))^T @ dgates, accumulated across the
-    # whole grid in the VMEM-resident dw block (constant index map).
-    h_prev_m = h_prev.astype(wt_ref.dtype)
-    for k in range(9):
-        oy, ox = k // 3 - 1, k % 3 - 1
-        shifted = _shift_rows(h_prev_m, oy * width + ox)
-        masked = jnp.where(masks[k], shifted, jnp.zeros_like(shifted))
-        dw_ref[k] += jax.lax.dot_general(
-            masked, dg_mat,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
+    # dW[k*F+f, :] += (mask_k . shift_k(h_prev))^T @ dgates — the 9 taps
+    # lane-stacked into one (9F, rows) x (rows, 4F) contraction, accumulated
+    # across the whole grid in the VMEM-resident flat dw block.
+    h_taps = _tap_stack(h_prev.astype(wt_ref.dtype), masks, width)
+    dw_ref[:] += jax.lax.dot_general(
+        h_taps, dg_mat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
 
     dh_s[:] = dh_prev
     dc_s[:] = dc_prev
@@ -418,6 +465,7 @@ def _bwd_kernel(
 def _bwd_impl(
     w, c0, h0, hs, cs, gates, dhs, dc_last,
     height, width, t_out, const_input, interpret, xg_t_in, xg_dtype,
+    gate_dtype=jnp.float32,
 ):
     if interpret is None:
         interpret = _interpret_default()
@@ -428,7 +476,9 @@ def _bwd_impl(
     grid = (nb, t_out)
     t_total = t_out
 
-    wt = jnp.swapaxes(w, 1, 2)  # (9, 4F, F)
+    # (4F, 9F) flat transpose: wtf[c, k*F + f] = W[k, f, c] -> dh taps come
+    # out of ONE (rows, 4F) x (4F, 9F) matmul, sliced per tap.
+    wtf = w.reshape(9, feat, f4).transpose(2, 0, 1).reshape(f4, 9 * feat)
 
     def rev(b, i):
         return (b, t_total - 1 - i, 0, 0)
@@ -449,7 +499,7 @@ def _bwd_impl(
         kernel,
         grid=grid,
         in_specs=[
-            bspec((9, f4, feat), lambda b, i: (0, 0, 0)),   # w^T
+            bspec((f4, 9 * feat), lambda b, i: (0, 0)),   # w^T flat
             bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
             bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
             bspec((block_b, 1, hw, feat), rev_prev),   # hs[t-1]
@@ -461,7 +511,7 @@ def _bwd_impl(
         ],
         out_specs=(
             bspec((block_b, 1, hw, f4), dxg_index),
-            bspec((9, feat, f4), lambda b, i: (0, 0, 0)),
+            bspec((9 * feat, f4), lambda b, i: (0, 0)),
             bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
             bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
         ),
@@ -471,7 +521,7 @@ def _bwd_impl(
                 (batch, xg_t_in if const_input else t_out, hw, f4),
                 jnp.float32 if const_input else xg_dtype,
             ),
-            jax.ShapeDtypeStruct((9, feat, f4), jnp.float32),
+            jax.ShapeDtypeStruct((9 * feat, f4), jnp.float32),
             jax.ShapeDtypeStruct((batch, hw, feat), c0.dtype),
             jax.ShapeDtypeStruct((batch, hw, feat), h0.dtype),
         ),
@@ -493,7 +543,7 @@ def _bwd_impl(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
-    )(wt, c0, h0, hs, cs, cs, gates, dhs, dc_last)
+    )(wtf, c0, h0, hs, cs, cs, gates, dhs, dc_last)
     return dxg.astype(xg_dtype), dw.astype(w.dtype), dc0, dh0
 
 
@@ -502,19 +552,23 @@ def _bwd_impl(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _scan(xg, w, c0, h0, height, width, t_out, const_input, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _scan(xg, w, c0, h0, height, width, t_out, const_input, interpret,
+          gate_dtype):
     # Primal-only path (no jax.grad will consume this call): use the
     # residual-free forward — no gates / cell-state history written to HBM.
     # Under differentiation jax runs _scan_fwd instead, which saves residuals.
     return _fwd_impl_nores(
-        xg, w, c0, h0, height, width, t_out, const_input, interpret
+        xg, w, c0, h0, height, width, t_out, const_input, interpret,
+        gate_dtype=gate_dtype,
     )
 
 
-def _scan_fwd(xg, w, c0, h0, height, width, t_out, const_input, interpret):
+def _scan_fwd(xg, w, c0, h0, height, width, t_out, const_input, interpret,
+              gate_dtype):
     hs, cs, gates = _fwd_impl(
-        xg, w, c0, h0, height, width, t_out, const_input, interpret
+        xg, w, c0, h0, height, width, t_out, const_input, interpret,
+        gate_dtype=gate_dtype,
     )
     # xg itself is NOT a residual: the saved post-activation gates carry
     # everything the backward needs (dxg == pre-activation dgates).
@@ -522,7 +576,8 @@ def _scan_fwd(xg, w, c0, h0, height, width, t_out, const_input, interpret):
     return (hs, cs[:, -1]), res
 
 
-def _scan_bwd(height, width, t_out, const_input, interpret, res, cot):
+def _scan_bwd(height, width, t_out, const_input, interpret, gate_dtype,
+              res, cot):
     w, c0, h0, hs, cs, gates = res
     dhs, dc_last = cot
     dhs = dhs.astype(hs.dtype)
@@ -533,6 +588,7 @@ def _scan_bwd(height, width, t_out, const_input, interpret, res, cot):
     dxg, dw, dc0, dh0 = _bwd_impl(
         w, c0, h0, hs, cs, gates, dhs, dc_last,
         height, width, t_out, const_input, interpret, xg_t_in, hs.dtype,
+        gate_dtype=gate_dtype,
     )
     return dxg, dw, dc0, dh0
 
@@ -548,6 +604,7 @@ def convlstm_scan_pallas(
     *,
     length: int | None = None,
     interpret: bool | None = None,
+    gate_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
     """Run the full ConvLSTM hidden recurrence as one fused Pallas kernel.
 
@@ -567,11 +624,12 @@ def convlstm_scan_pallas(
     t_out = length or t_in
     const_input = t_in == 1 and t_out > 1
     xg2 = xg.reshape(batch, t_in, height * width, f4)
-    w2 = w.reshape(9, feat, f4)
+    w2 = w.reshape(9 * feat, f4)
     c02 = c0.reshape(batch, height * width, feat)
     h02 = h0.reshape(batch, height * width, feat)
     hs, c_last = _scan(
-        xg2, w2, c02, h02, height, width, t_out, const_input, interpret
+        xg2, w2, c02, h02, height, width, t_out, const_input, interpret,
+        jnp.dtype(gate_dtype),
     )
     hs = hs.reshape(batch, t_out, height, width, feat)
     c_T = c_last.reshape(batch, height, width, feat).astype(c0.dtype)

@@ -214,3 +214,41 @@ def test_x_kernel_fused_matches_scan(xk):
     (_, h_s), hs_s = scanned.apply(params, state0, xs)
     (_, h_f), hs_f = fused.apply(params, state0, xs)
     np.testing.assert_allclose(hs_f, hs_s, rtol=2e-5, atol=2e-5)
+
+
+def test_gate_bf16_fused_matches_scan():
+    """gate_dtype=bfloat16 now applies INSIDE the fused kernel (pointwise
+    chain + cell-state scratch in bf16, accumulators f32) — fwd and grads
+    must track the scanned bf16 path to bf16 tolerance."""
+    rng = np.random.default_rng(9)
+    xs = jnp.asarray(
+        rng.normal(size=(2, 4, HW_SIDE, HW_SIDE, CIN)), jnp.float32
+    )
+    kw = dict(features=F, gate_dtype=jnp.bfloat16)
+    scanned = ConvLSTM(fused=False, **kw)
+    fused = ConvLSTM(fused=True, **kw)
+    state0 = ConvLSTMCell.initial_state(2, HW_SIDE, HW_SIDE, F)
+    params = scanned.init(jax.random.PRNGKey(0), state0, xs)
+    (_, h_s), hs_s = scanned.apply(params, state0, xs)
+    (_, h_f), hs_f = fused.apply(params, state0, xs)
+    # bf16 has ~8 mantissa bits; both paths round at different points, so the
+    # defensible bound is a few bf16 ulps of the O(1) activations.
+    np.testing.assert_allclose(
+        np.asarray(hs_f, np.float32), np.asarray(hs_s, np.float32),
+        atol=0.05, rtol=0.05,
+    )
+
+    def loss(mod):
+        def f(p):
+            (c_t, h_t), hs = mod.apply(p, state0, xs)
+            return jnp.sum(hs.astype(jnp.float32) ** 2)
+        return f
+
+    g_s = jax.grad(loss(scanned))(params)
+    g_f = jax.grad(loss(fused))(params)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_f)):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            atol=0.08 * scale, rtol=0.08,
+        )
