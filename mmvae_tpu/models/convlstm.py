@@ -102,6 +102,52 @@ class _HiddenStep(nn.Module):
         return (c_new, h_new), h_new
 
 
+class _InputProj1x1(nn.Module):
+    """1x1 input projection as a pure matmul (see ConvLSTM.__call__).
+
+    Param-tree-identical to nn.Conv(features4, (1, 1), name=...): kernel
+    (1, 1, C, 4F) with the conv default init (lecun_normal over the same
+    shape => same fan-in => same distribution) + bias (4F,) zeros.
+    """
+
+    features4: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, c, self.features4)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features4,)
+        )
+        lead = x.shape[:-1]
+        y = x.reshape(-1, c) @ kernel.reshape(c, self.features4).astype(self.dtype)
+        y = y + bias.astype(self.dtype)
+        return y.reshape(*lead, self.features4)
+
+
+class _InputParamHolder(nn.Module):
+    """Declares the 1x1 input-projection params (kernel (1,1,C,4F) + bias) at
+    the SAME path as `_InputProj1x1`/nn.Conv(name='input') WITHOUT applying
+    the projection — the proj-fused Pallas kernel consumes them directly."""
+
+    features4: int
+    cin: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jax.Array, jax.Array]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.cin, self.features4),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features4,)
+        )
+        return kernel, bias
+
+
 class _HiddenKernelHolder(nn.Module):
     """Declares the hidden conv kernel at the SAME param path as the scanned
     form (`step/hidden/kernel`, matching nn.scan(_HiddenStep)), so the fused
@@ -163,8 +209,16 @@ class ConvLSTM(nn.Module):
 
     @nn.compact
     def __call__(
-        self, state0: State, xs: jax.Array, *, length: Optional[int] = None
-    ) -> Tuple[State, jax.Array]:
+        self, state0: State, xs: jax.Array, *, length: Optional[int] = None,
+        need_hs: bool = True,
+    ) -> Tuple[State, Optional[jax.Array]]:
+        """need_hs=False: caller consumes only the terminal state (encoder
+        head).  The fused kernel then runs its last-only variant — no hs
+        history written by the primal, and the backward takes the h-cotangent
+        as one block instead of a dense mostly-zero T-step stream (which XLA
+        would otherwise materialize and layout-copy at the custom-call
+        boundary).  The scanned path still returns hs (XLA DCEs the unused
+        outputs there for free)."""
         b, t_in = xs.shape[:2]
         t = length or t_in
         fused = self.fused
@@ -175,22 +229,54 @@ class ConvLSTM(nn.Module):
             # 1.81 ms — the revisited dxg accumulator block costs more than
             # XLA's broadcast-input scan saves), so auto = fused iff streaming.
             fused = jax.default_backend() == "tpu" and not (t_in == 1 and t > 1)
+        xk = self.x_kernel or self.kernel
+        if (
+            fused and not need_hs and xk == (1, 1) and t_in == t
+            and xs.shape[-1] % 128 == 0
+        ):
+            # Encoder fast path: the 1x1 projection runs INSIDE the fused
+            # recurrence kernel — the (B, T, H, W, 4F) projected-gates tensor
+            # (~0.57 ms/step of pure HBM traffic at production shapes) never
+            # exists.  Params stay at input/kernel + input/bias (same tree).
+            from mmvae_tpu.ops.convlstm_pallas import convlstm_scan_proj_pallas
+
+            cin = xs.shape[-1]
+            kx, bx = _InputParamHolder(
+                4 * self.features, cin, name="input"
+            )()
+            wh = _HiddenKernelHolder(
+                self.kernel + (self.features, 4 * self.features), name="step"
+            )()
+            c0, h0 = state0
+            c_T, h_T = convlstm_scan_proj_pallas(
+                xs.astype(self.dtype),
+                kx.reshape(cin, 4 * self.features).astype(self.dtype),
+                bx.astype(self.dtype),
+                wh.astype(self.dtype),
+                c0.astype(self.dtype),
+                h0.astype(self.dtype),
+                gate_dtype=self.gate_dtype,
+            )
+            return (c_T, h_T), None
+
         # Hoisted input projection: one conv over all B*T_in frames.
         flat = xs.reshape(b * t_in, *xs.shape[2:]).astype(self.dtype)
-        xk = self.x_kernel or self.kernel
         if xk == (1, 1):
-            # Fold spatial into batch so XLA lowers a plain (N*H*W, C) x
-            # (C, 4F) matmul instead of a 1x1 "conv" (which inherited the
-            # conv stack's spatial layout and measured 48 TF/s vs the
-            # matmul path); kernel shape (1, 1, C, 4F) is unchanged.
-            spatial = flat.shape[1:3]
-            flat = flat.reshape(-1, 1, 1, flat.shape[-1])
-        xg = nn.Conv(
-            4 * self.features, xk, padding="SAME",
-            dtype=self.dtype, name="input",
-        )(flat)
-        if xk == (1, 1):
-            xg = xg.reshape(b * t_in, *spatial, xg.shape[-1])
+            # Lower as a TRUE dot_general, not a 1x1 "conv": the conv form
+            # (even with spatial folded into batch) inherited conv layouts
+            # and ran at ~82 TF/s with a 21 MB relayout copy at the Pallas
+            # boundary; a plain (N*H*W, C) x (C, 4F) dot is layout-flexible
+            # and MXU-shaped.  Param path/shape/init are unchanged
+            # (input/kernel (1, 1, C, 4F) + input/bias), so checkpoints and
+            # the torch-parity mapping are untouched.
+            xg = _InputProj1x1(
+                4 * self.features, dtype=self.dtype, name="input"
+            )(flat)
+        else:
+            xg = nn.Conv(
+                4 * self.features, xk, padding="SAME",
+                dtype=self.dtype, name="input",
+            )(flat)
         xg = xg.reshape(b, t_in, *xg.shape[1:])
         if fused:
             if self.fused and self.remat:
@@ -214,6 +300,7 @@ class ConvLSTM(nn.Module):
                 h0.astype(self.dtype),
                 length=t,
                 gate_dtype=self.gate_dtype,
+                last_only=not need_hs,
             )
         if t_in == 1 and t > 1:
             xg = jnp.broadcast_to(xg, (b, t) + xg.shape[2:])

@@ -117,7 +117,7 @@ class HierVideoVAE(nn.Module):
             b * k, self.grid, self.grid, self.lstm_features, dtype=self.dtype
         )
         with jax.named_scope("chunk_lstm"):
-            (_, h_t), _ = self.chunk_lstm(state0, feats)
+            (_, h_t), _ = self.chunk_lstm(state0, feats, need_hs=False)
         pooled = h_t.reshape(b * k, -1).astype(jnp.float32)
         return self.chunk_proj(pooled).reshape(b, k, self.chunk_feature)
 

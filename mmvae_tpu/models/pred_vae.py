@@ -75,7 +75,7 @@ class PredSeqVAE(nn.Module):
         state0 = ConvLSTMCell.initial_state(
             b, self.grid, self.grid, self.lstm_features, dtype=self.dtype
         )
-        state_t, _ = self.enc_lstm(state0, feats)
+        state_t, _ = self.enc_lstm(state0, feats, need_hs=False)
         mu, logvar = self.head(state_t[1])
         return state_t, (mu, logvar)
 

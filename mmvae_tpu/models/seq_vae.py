@@ -89,7 +89,7 @@ class ConvLSTMSeqVAE(nn.Module):
             b, self.grid, self.grid, self.lstm_features, dtype=self.dtype
         )
         with jax.named_scope("enc_lstm"):
-            (c_t, h_t), _ = self.enc_lstm(state0, feats)
+            (c_t, h_t), _ = self.enc_lstm(state0, feats, need_hs=False)
         del c_t
         with jax.named_scope("latent_head"):
             return self.head(h_t)

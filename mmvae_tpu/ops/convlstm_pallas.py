@@ -212,7 +212,7 @@ def _fwd_kernel_nores(
 
 
 def _fwd_impl_nores(xg, w, c0, h0, height, width, t_out, const_input,
-                    interpret, gate_dtype=jnp.float32):
+                    interpret, gate_dtype=jnp.float32, last_only=False):
     if interpret is None:
         interpret = _interpret_default()
     batch, t_in, hw, f4 = xg.shape
@@ -229,6 +229,15 @@ def _fwd_impl_nores(xg, w, c0, h0, height, width, t_out, const_input,
         _fwd_kernel_nores, height=height, width=width, feat=feat, block_b=block_b
     )
     flops_step = 2 * batch * hw * 9 * feat * 4 * feat
+    # last_only: hs collapses to ONE revisited block per batch tile (flushed
+    # once) — the primal writes no per-step history at all.
+    hs_shape = (
+        (batch, 1, hw, feat) if last_only else (batch, t_out, hw, feat)
+    )
+    hs_index = (
+        (lambda b, t: (b, 0, 0, 0)) if last_only
+        else (lambda b, t: (b, t, 0, 0))
+    )
     hs, c_last = pl.pallas_call(
         kernel,
         grid=grid,
@@ -239,11 +248,11 @@ def _fwd_impl_nores(xg, w, c0, h0, height, width, t_out, const_input,
             pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((block_b, 1, hw, feat), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, hw, feat), hs_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, t_out, hw, feat), xg.dtype),
+            jax.ShapeDtypeStruct(hs_shape, xg.dtype),
             jax.ShapeDtypeStruct((batch, hw, feat), xg.dtype),
         ),
         scratch_shapes=[
@@ -328,6 +337,439 @@ def _fwd_impl(xg, w, c0, h0, height, width, t_out, const_input, interpret,
 
 
 # ---------------------------------------------------------------------------
+# Projection-fused forward kernels (encoder path: 1x1 input projection runs
+# INSIDE the recurrence kernel)
+# ---------------------------------------------------------------------------
+#
+# Motivation (profile, docs/RESULTS.md round 5): with the projection outside,
+# the (B, T, hw, 4F) xg tensor costs ~0.57 ms/step of pure HBM traffic at
+# production shapes — proj-fwd write 84 MB, kernel read 84 MB, kernel dxg
+# write 84 MB, proj-bwd dx/dW/db reads — all bandwidth-floor ops.  Computing
+# gates = x_t @ Wx + b + conv_h(h) in-kernel streams the 4x-narrower feats
+# (21 MB) instead, adds ~11% kernel matmul FLOPs, and accumulates dWx/db in
+# VMEM scratch alongside dW.  Only the streaming + last_only (encoder) shape
+# is supported — every proj-fused call site consumes just the terminal state.
+
+
+def _fwd_proj_kernel(
+    x_ref, wx_ref, bx_ref, w_ref, c0_ref, h0_ref, hs_ref, cs_ref, ga_ref,
+    c_s, h_s, *, height, width, feat, block_b,
+):
+    t = pl.program_id(1)
+    hw = height * width
+    rows = block_b * hw
+    cdt = c_s.dtype
+
+    @pl.when(t == 0)
+    def _init():
+        c_s[:] = c0_ref[:].reshape(rows, feat).astype(cdt)
+        h_s[:] = h0_ref[:].reshape(rows, feat).astype(cdt)
+
+    masks = _tap_masks(block_b, hw, width, height)
+    h_mat = h_s[:].astype(w_ref.dtype)
+    cin = x_ref.shape[-1]
+    x_mat = x_ref[:].reshape(rows, cin).astype(wx_ref.dtype)
+    gates = jax.lax.dot_general(
+        x_mat, wx_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gates = (gates + bx_ref[:].astype(jnp.float32)).astype(cdt)
+    gates += _conv_taps(h_mat, w_ref, masks, width, out_dtype=cdt)
+    c_new, h_new, gates_act = _gates_fwd(gates, c_s[:], feat)
+    c_s[:] = c_new
+    h_s[:] = h_new
+    hs_ref[:] = h_new.reshape(hs_ref.shape).astype(hs_ref.dtype)
+    cs_ref[:] = c_new.reshape(cs_ref.shape).astype(cs_ref.dtype)
+    ga_ref[:] = gates_act.reshape(ga_ref.shape).astype(ga_ref.dtype)
+
+
+def _fwd_proj_kernel_nores(
+    x_ref, wx_ref, bx_ref, w_ref, c0_ref, h0_ref, hl_ref, cl_ref, c_s, h_s,
+    *, height, width, feat, block_b,
+):
+    t = pl.program_id(1)
+    hw = height * width
+    rows = block_b * hw
+    cdt = c_s.dtype
+
+    @pl.when(t == 0)
+    def _init():
+        c_s[:] = c0_ref[:].reshape(rows, feat).astype(cdt)
+        h_s[:] = h0_ref[:].reshape(rows, feat).astype(cdt)
+
+    masks = _tap_masks(block_b, hw, width, height)
+    h_mat = h_s[:].astype(w_ref.dtype)
+    cin = x_ref.shape[-1]
+    x_mat = x_ref[:].reshape(rows, cin).astype(wx_ref.dtype)
+    gates = jax.lax.dot_general(
+        x_mat, wx_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gates = (gates + bx_ref[:].astype(jnp.float32)).astype(cdt)
+    gates += _conv_taps(h_mat, w_ref, masks, width, out_dtype=cdt)
+    c_new, h_new, _ = _gates_fwd(gates, c_s[:], feat)
+    c_s[:] = c_new
+    h_s[:] = h_new
+    hl_ref[:] = h_new.reshape(hl_ref.shape).astype(hl_ref.dtype)
+    cl_ref[:] = c_new.reshape(cl_ref.shape).astype(cl_ref.dtype)
+
+
+def _fwd_proj_impl(x, wx, bx, w, c0, h0, height, width, interpret,
+                   gate_dtype=jnp.float32, nores=False):
+    if interpret is None:
+        interpret = _interpret_default()
+    batch, t_out, hw, cin = x.shape
+    f4 = w.shape[-1]
+    feat = f4 // 4
+    block_b = _pick_block_b(batch)
+    nb = batch // block_b
+    grid = (nb, t_out)
+
+    flops_step = 2 * batch * hw * (9 * feat + cin) * f4
+    common = dict(height=height, width=width, feat=feat, block_b=block_b)
+    in_specs = [
+        pl.BlockSpec((block_b, 1, hw, cin), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cin, f4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9 * feat, f4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((block_b * hw, feat), gate_dtype),
+        pltpu.VMEM((block_b * hw, feat), gate_dtype),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    if nores:
+        hl, cl = pl.pallas_call(
+            functools.partial(_fwd_proj_kernel_nores, **common),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, hw, feat), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((batch, hw, feat), x.dtype),
+                jax.ShapeDtypeStruct((batch, hw, feat), x.dtype),
+            ),
+            scratch_shapes=scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=t_out * flops_step,
+                bytes_accessed=t_out * (x.dtype.itemsize * batch * hw * cin),
+                transcendentals=t_out * batch * hw * 5 * feat,
+            ),
+            compiler_params=params,
+            interpret=interpret,
+        )(x, wx, bx, w, c0, h0)
+        return hl, cl
+    hs, cs, gates = pl.pallas_call(
+        functools.partial(_fwd_proj_kernel, **common),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_b, 1, hw, feat), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, hw, feat), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, hw, 4 * feat), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_out, hw, feat), x.dtype),
+            jax.ShapeDtypeStruct((batch, t_out, hw, feat), x.dtype),
+            jax.ShapeDtypeStruct((batch, t_out, hw, 4 * feat), x.dtype),
+        ),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=t_out * flops_step,
+            bytes_accessed=t_out * (x.dtype.itemsize * batch * hw * (cin + 6 * feat)),
+            transcendentals=t_out * batch * hw * 5 * feat,
+        ),
+        compiler_params=params,
+        interpret=interpret,
+    )(x, wx, bx, w, c0, h0)
+    return hs, cs, gates
+
+
+def _bwd_proj_kernel(
+    wt_ref, wxt_ref, x_ref, c0_ref, h0_ref, hsp_ref, csp_ref, cst_ref, ga_ref,
+    dhl_ref, dcl_ref,
+    dx_ref, dwx_ref, dbx_ref, dw_ref, dc0_ref, dh0_ref,
+    dc_s, dh_s,
+    *, height, width, feat, block_b, t_total,
+):
+    b_i = pl.program_id(0)
+    i = pl.program_id(1)          # 0 .. T-1, walking time BACKWARD
+    t = t_total - 1 - i
+    hw = height * width
+    rows = block_b * hw
+    f32 = jnp.float32
+    cdt = f32  # backward chain is f32 regardless of gate_dtype (see _bwd_kernel)
+
+    @pl.when(i == 0)
+    def _init_carry():
+        # last_only semantics: the h-cotangent enters once at t = T-1.
+        dh_s[:] = dhl_ref[:].reshape(rows, feat).astype(cdt)
+        dc_s[:] = dcl_ref[:].reshape(rows, feat).astype(cdt)
+
+    @pl.when((b_i == 0) & (i == 0))
+    def _init_dw():
+        dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        dwx_ref[:] = jnp.zeros(dwx_ref.shape, dwx_ref.dtype)
+        dbx_ref[:] = jnp.zeros(dbx_ref.shape, dbx_ref.dtype)
+
+    masks = _tap_masks(block_b, hw, width, height)
+
+    is_first = t == 0
+    h_prev = jnp.where(
+        is_first,
+        h0_ref[:].reshape(rows, feat).astype(cdt),
+        hsp_ref[:].reshape(rows, feat).astype(cdt),
+    )
+    c_prev = jnp.where(
+        is_first,
+        c0_ref[:].reshape(rows, feat).astype(cdt),
+        csp_ref[:].reshape(rows, feat).astype(cdt),
+    )
+    c_t = cst_ref[:].reshape(rows, feat).astype(cdt)
+    ga = ga_ref[:].reshape(rows, 4 * feat).astype(cdt)
+    i_ = ga[:, :feat]
+    f_ = ga[:, feat:2 * feat]
+    g_ = ga[:, 2 * feat:3 * feat]
+    o_ = ga[:, 3 * feat:]
+
+    dh = dh_s[:]
+    dc = dc_s[:]
+
+    one = jnp.asarray(1.0, cdt)
+    tanh_ct = jnp.tanh(c_t)
+    do = dh * tanh_ct
+    dct = dc + dh * o_ * (one - tanh_ct * tanh_ct)
+    di = dct * g_
+    dg = dct * i_
+    df = dct * c_prev
+    dc_prev = dct * f_
+
+    dgates = jnp.concatenate(
+        [
+            di * i_ * (one - i_),
+            df * f_ * (one - f_),
+            dg * (one - g_ * g_),
+            do * o_ * (one - o_),
+        ],
+        axis=1,
+    )
+
+    # Input-projection backward, all in-kernel:
+    # dx_t = dgates @ Wx^T; dWx += x_t^T @ dgates; db += row-sum(dgates)
+    # (as (8, 4F) sublane partials — the caller sums the 8 rows).
+    dg_mat = dgates.astype(wt_ref.dtype)
+    cin = dx_ref.shape[-1]
+    dx = jax.lax.dot_general(
+        dg_mat, wxt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dx_ref[:] = dx.reshape(dx_ref.shape).astype(dx_ref.dtype)
+    x_mat = x_ref[:].reshape(rows, cin).astype(wt_ref.dtype)
+    dwx_ref[:] += jax.lax.dot_general(
+        x_mat, dg_mat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dbx_ref[:] += jnp.sum(
+        dgates.reshape(rows // 8, 8, 4 * feat), axis=0
+    )
+
+    # dh_prev: one (rows, 4F) x (4F, 9F) matmul, masked/shifted per tap.
+    part_all = jax.lax.dot_general(
+        dg_mat, wt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dh_prev = None
+    for k in range(9):
+        oy, ox = k // 3 - 1, k % 3 - 1
+        part = part_all[:, k * feat:(k + 1) * feat]
+        part = jnp.where(masks[k], part, jnp.zeros_like(part))
+        part = _shift_rows(part, -(oy * width + ox))
+        dh_prev = part if dh_prev is None else dh_prev + part
+
+    h_taps = _tap_stack(h_prev.astype(wt_ref.dtype), masks, width)
+    dw_ref[:] += jax.lax.dot_general(
+        h_taps, dg_mat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+    dh_s[:] = dh_prev
+    dc_s[:] = dc_prev
+
+    @pl.when(i == t_total - 1)
+    def _final():
+        dh0_ref[:] = dh_prev.reshape(dh0_ref.shape).astype(dh0_ref.dtype)
+        dc0_ref[:] = dc_prev.reshape(dc0_ref.shape).astype(dc0_ref.dtype)
+
+
+def _bwd_proj_impl(
+    wx, w, x, c0, h0, hs, cs, gates, dh_last, dc_last,
+    height, width, t_out, interpret, gate_dtype=jnp.float32,
+):
+    if interpret is None:
+        interpret = _interpret_default()
+    batch, _, hw, f4 = gates.shape
+    feat = f4 // 4
+    cin = x.shape[-1]
+    block_b = _pick_block_b(batch)
+    nb = batch // block_b
+    grid = (nb, t_out)
+    t_total = t_out
+
+    wtf = w.reshape(9, feat, f4).transpose(2, 0, 1).reshape(f4, 9 * feat)
+    wxt = wx.T  # (4F, C)
+
+    def rev(b, i):
+        return (b, t_total - 1 - i, 0, 0)
+
+    def rev_prev(b, i):
+        return (b, jnp.maximum(t_total - 2 - i, 0), 0, 0)
+
+    kernel = functools.partial(
+        _bwd_proj_kernel, height=height, width=width, feat=feat,
+        block_b=block_b, t_total=t_total,
+    )
+    bspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    flops_step = 2 * 2 * batch * hw * (9 * feat + cin) * f4
+    dx, dwx, dbx8, dw, dc0, dh0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bspec((f4, 9 * feat), lambda b, i: (0, 0)),   # w^T flat
+            bspec((f4, cin), lambda b, i: (0, 0)),        # wx^T
+            bspec((block_b, 1, hw, cin), rev),            # x[t]
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
+            bspec((block_b, 1, hw, feat), rev_prev),      # hs[t-1]
+            bspec((block_b, 1, hw, feat), rev_prev),      # cs[t-1]
+            bspec((block_b, 1, hw, feat), rev),           # cs[t]
+            bspec((block_b, 1, hw, f4), rev),             # gates[t] (saved)
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),  # dh_last
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),  # dc_last
+        ],
+        out_specs=(
+            bspec((block_b, 1, hw, cin), rev),
+            bspec((cin, f4), lambda b, i: (0, 0)),
+            bspec((8, f4), lambda b, i: (0, 0)),
+            bspec((9 * feat, f4), lambda b, i: (0, 0)),
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
+            bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_out, hw, cin), x.dtype),
+            jax.ShapeDtypeStruct((cin, f4), jnp.float32),
+            jax.ShapeDtypeStruct((8, f4), jnp.float32),
+            jax.ShapeDtypeStruct((9 * feat, f4), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hw, feat), c0.dtype),
+            jax.ShapeDtypeStruct((batch, hw, feat), h0.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+            pltpu.VMEM((block_b * hw, feat), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=t_out * flops_step,
+            bytes_accessed=t_out * (gates.dtype.itemsize * batch * hw * (2 * cin + 10 * feat)),
+            transcendentals=t_out * batch * hw * feat,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(wtf, wxt, x, c0, h0, hs, cs, cs, gates, dh_last, dc_last)
+    dbx = jnp.sum(dbx8, axis=0, keepdims=True)  # (1, 4F), matching bx's shape
+    return dx, dwx, dbx, dw, dc0, dh0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _scan_proj_last(x, wx, bx, w, c0, h0, height, width, interpret,
+                    gate_dtype):
+    hl, cl = _fwd_proj_impl(
+        x, wx, bx, w, c0, h0, height, width, interpret,
+        gate_dtype=gate_dtype, nores=True,
+    )
+    return hl, cl
+
+
+def _scan_proj_last_fwd(x, wx, bx, w, c0, h0, height, width, interpret,
+                        gate_dtype):
+    hs, cs, gates = _fwd_proj_impl(
+        x, wx, bx, w, c0, h0, height, width, interpret, gate_dtype=gate_dtype
+    )
+    res = (x, wx, w, c0, h0, hs, cs, gates)
+    return (hs[:, -1], cs[:, -1]), res
+
+
+def _scan_proj_last_bwd(height, width, interpret, gate_dtype, res, cot):
+    x, wx, w, c0, h0, hs, cs, gates = res
+    dh_last, dc_last = cot
+    dh_last = dh_last.astype(hs.dtype)
+    dc_last = dc_last.astype(c0.dtype)
+    t_out = gates.shape[1]
+    dx, dwx, dbx, dw, dc0, dh0 = _bwd_proj_impl(
+        wx, w, x, c0, h0, hs, cs, gates, dh_last, dc_last,
+        height, width, t_out, interpret, gate_dtype=gate_dtype,
+    )
+    return (
+        dx.astype(x.dtype), dwx.astype(wx.dtype), dbx.astype(wx.dtype),
+        dw.astype(w.dtype), dc0, dh0,
+    )
+
+
+_scan_proj_last.defvjp(_scan_proj_last_fwd, _scan_proj_last_bwd)
+
+
+def convlstm_scan_proj_pallas(
+    x: jax.Array,
+    wx: jax.Array,
+    bx: jax.Array,
+    w: jax.Array,
+    c0: jax.Array,
+    h0: jax.Array,
+    *,
+    interpret: bool | None = None,
+    gate_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused ConvLSTM recurrence WITH the 1x1 input projection in-kernel.
+
+    gates_t = x_t @ wx + bx + conv3x3(h_{t-1}, w); returns only the terminal
+    (c_T, h_T) — the encoder shape.  The (B, T, H, W, 4F) projected-gates
+    tensor never exists in HBM (it cost ~0.57 ms/step of pure bandwidth at
+    production shapes when materialized; see module notes).
+
+    Args:
+      x:  (B, T, H, W, C) per-step features (streaming input).
+      wx: (C, 4F) projection matrix; bx: (4F,) bias.
+      w:  (3, 3, F, 4F) hidden conv kernel (HWIO).
+      c0, h0: (B, H, W, F) initial state.
+    Returns (c_T, h_T), each (B, H, W, F).  Differentiable wrt all tensors.
+    """
+    batch, t_in, height, width, cin = x.shape
+    f4 = w.shape[-1]
+    feat = f4 // 4
+    x2 = x.reshape(batch, t_in, height * width, cin)
+    w2 = w.reshape(9 * feat, f4)
+    c02 = c0.reshape(batch, height * width, feat)
+    h02 = h0.reshape(batch, height * width, feat)
+    hl, cl = _scan_proj_last(
+        x2, wx, bx.reshape(1, f4), w2, c02, h02, height, width, interpret,
+        jnp.dtype(gate_dtype),
+    )
+    c_T = cl.reshape(batch, height, width, feat).astype(c0.dtype)
+    h_T = hl.reshape(batch, height, width, feat)
+    return c_T, h_T
+
+
+# ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
 
@@ -337,7 +779,7 @@ def _bwd_kernel(
     dhs_ref, dcl_ref,
     dxg_ref, dw_ref, dc0_ref, dh0_ref,
     dc_s, dh_s, dxg_s,
-    *, height, width, feat, block_b, t_total, const_input,
+    *, height, width, feat, block_b, t_total, const_input, last_only=False,
 ):
     b_i = pl.program_id(0)
     i = pl.program_id(1)          # 0 .. T-1, walking time BACKWARD
@@ -354,7 +796,13 @@ def _bwd_kernel(
 
     @pl.when(i == 0)
     def _init_carry():
-        dh_s[:] = jnp.zeros((rows, feat), cdt)
+        # last_only: the caller consumed ONLY h_T, so the h-cotangent enters
+        # once here (dhs_ref is then a single (block_b, hw, feat) block) and
+        # no per-step dhs stream exists at all.
+        if last_only:
+            dh_s[:] = dhs_ref[:].reshape(rows, feat).astype(cdt)
+        else:
+            dh_s[:] = jnp.zeros((rows, feat), cdt)
         dc_s[:] = dcl_ref[:].reshape(rows, feat).astype(cdt)
 
     @pl.when((b_i == 0) & (i == 0))
@@ -385,7 +833,10 @@ def _bwd_kernel(
 
     # Upstream: dh from the per-step cotangent + the recurrent carry;
     # dc only from the carry (the c-chain cotangent enters once via dc_last).
-    dh = dh_s[:] + dhs_ref[:].reshape(rows, feat).astype(cdt)
+    if last_only:
+        dh = dh_s[:]
+    else:
+        dh = dh_s[:] + dhs_ref[:].reshape(rows, feat).astype(cdt)
     dc = dc_s[:]
 
     one = jnp.asarray(1.0, cdt)
@@ -465,7 +916,7 @@ def _bwd_kernel(
 def _bwd_impl(
     w, c0, h0, hs, cs, gates, dhs, dc_last,
     height, width, t_out, const_input, interpret, xg_t_in, xg_dtype,
-    gate_dtype=jnp.float32,
+    gate_dtype=jnp.float32, last_only=False,
 ):
     if interpret is None:
         interpret = _interpret_default()
@@ -492,9 +943,16 @@ def _bwd_impl(
     kernel = functools.partial(
         _bwd_kernel, height=height, width=width, feat=feat,
         block_b=block_b, t_total=t_total, const_input=const_input,
+        last_only=last_only,
     )
     bspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     flops_step = 2 * 2 * batch * hw * 9 * feat * 4 * feat
+    dhs_spec = (
+        # last_only: dhs is just dh_last (batch, hw, feat), read once per b.
+        bspec((block_b, hw, feat), lambda b, i: (b, 0, 0))
+        if last_only
+        else bspec((block_b, 1, hw, feat), rev)        # dhs[t]
+    )
     dxg, dw, dc0, dh0 = pl.pallas_call(
         kernel,
         grid=grid,
@@ -506,7 +964,7 @@ def _bwd_impl(
             bspec((block_b, 1, hw, feat), rev_prev),   # cs[t-1]
             bspec((block_b, 1, hw, feat), rev),        # cs[t]
             bspec((block_b, 1, hw, f4), rev),          # gates[t] (saved)
-            bspec((block_b, 1, hw, feat), rev),        # dhs[t]
+            dhs_spec,
             bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),  # dc_last
         ],
         out_specs=(
@@ -596,6 +1054,49 @@ def _scan_bwd(height, width, t_out, const_input, interpret, gate_dtype,
 _scan.defvjp(_scan_fwd, _scan_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _scan_last(xg, w, c0, h0, height, width, t_out, const_input, interpret,
+               gate_dtype):
+    # last_only variant: the caller consumes ONLY the terminal (h_T, c_T)
+    # (e.g. the encoder head).  The primal writes no hs history at all, and
+    # the backward takes the h-cotangent as ONE (B, hw, F) block instead of a
+    # T-step stream — XLA otherwise materializes a dense mostly-zero dhs
+    # (pad of dh_T) plus a 21 MB layout copy at the custom-call boundary.
+    hs1, c_last = _fwd_impl_nores(
+        xg, w, c0, h0, height, width, t_out, const_input, interpret,
+        gate_dtype=gate_dtype, last_only=True,
+    )
+    return hs1[:, 0], c_last
+
+
+def _scan_last_fwd(xg, w, c0, h0, height, width, t_out, const_input,
+                   interpret, gate_dtype):
+    hs, cs, gates = _fwd_impl(
+        xg, w, c0, h0, height, width, t_out, const_input, interpret,
+        gate_dtype=gate_dtype,
+    )
+    res = (w, c0, h0, hs, cs, gates)
+    return (hs[:, -1], cs[:, -1]), res
+
+
+def _scan_last_bwd(height, width, t_out, const_input, interpret, gate_dtype,
+                   res, cot):
+    w, c0, h0, hs, cs, gates = res
+    dh_last, dc_last = cot
+    dh_last = dh_last.astype(hs.dtype)
+    dc_last = dc_last.astype(c0.dtype)
+    xg_t_in = 1 if const_input else t_out
+    dxg, dw, dc0, dh0 = _bwd_impl(
+        w, c0, h0, hs, cs, gates, dh_last, dc_last,
+        height, width, t_out, const_input, interpret, xg_t_in, hs.dtype,
+        gate_dtype=gate_dtype, last_only=True,
+    )
+    return dxg, dw, dc0, dh0
+
+
+_scan_last.defvjp(_scan_last_fwd, _scan_last_bwd)
+
+
 def convlstm_scan_pallas(
     xg: jax.Array,
     w: jax.Array,
@@ -605,7 +1106,8 @@ def convlstm_scan_pallas(
     length: int | None = None,
     interpret: bool | None = None,
     gate_dtype: jnp.dtype = jnp.float32,
-) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+    last_only: bool = False,
+) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array | None]:
     """Run the full ConvLSTM hidden recurrence as one fused Pallas kernel.
 
     Args:
@@ -627,6 +1129,16 @@ def convlstm_scan_pallas(
     w2 = w.reshape(9 * feat, f4)
     c02 = c0.reshape(batch, height * width, feat)
     h02 = h0.reshape(batch, height * width, feat)
+    if last_only:
+        # Caller consumes only the terminal state (e.g. the encoder): hs is
+        # never exposed, so no dense per-step h-cotangent ever exists.
+        h_last, c_last = _scan_last(
+            xg2, w2, c02, h02, height, width, t_out, const_input, interpret,
+            jnp.dtype(gate_dtype),
+        )
+        c_T = c_last.reshape(batch, height, width, feat).astype(c0.dtype)
+        h_T = h_last.reshape(batch, height, width, feat)
+        return (c_T, h_T), None
     hs, c_last = _scan(
         xg2, w2, c02, h02, height, width, t_out, const_input, interpret,
         jnp.dtype(gate_dtype),

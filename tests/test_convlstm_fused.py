@@ -252,3 +252,78 @@ def test_gate_bf16_fused_matches_scan():
             np.asarray(b, np.float32), np.asarray(a, np.float32),
             atol=0.08 * scale, rtol=0.08,
         )
+
+
+def test_last_only_matches_scan():
+    """need_hs=False (encoder terminal-state path): the fused last-only
+    variant must match the scanned recurrence on (c_T, h_T), fwd and grads —
+    including the input/param grads that flow through the whole BPTT chain."""
+    rng = np.random.default_rng(11)
+    xs = jnp.asarray(
+        rng.normal(size=(2, 5, HW_SIDE, HW_SIDE, CIN)), jnp.float32
+    )
+    scanned = ConvLSTM(features=F, fused=False)
+    fused = ConvLSTM(features=F, fused=True)
+    state0 = ConvLSTMCell.initial_state(2, HW_SIDE, HW_SIDE, F)
+    params = scanned.init(jax.random.PRNGKey(0), state0, xs)
+
+    (c_s, h_s), _ = scanned.apply(params, state0, xs)
+    (c_f, h_f), hs_none = fused.apply(params, state0, xs, need_hs=False)
+    assert hs_none is None
+    np.testing.assert_allclose(h_f, h_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(c_f, c_s, rtol=2e-5, atol=2e-5)
+
+    def loss(mod, need):
+        def f(p, xs):
+            (c_t, h_t), _ = mod.apply(p, state0, xs, need_hs=need)
+            return jnp.sum(h_t**2) + 0.5 * jnp.sum(c_t**2)
+        return f
+
+    g_s = jax.grad(loss(scanned, True), argnums=(0, 1))(params, xs)
+    g_f = jax.grad(loss(fused, False), argnums=(0, 1))(params, xs)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=_GRAD_TOL, atol=_GRAD_TOL
+        )
+
+
+def test_proj_fused_matches_scan():
+    """Encoder fast path (x_kernel=(1,1), need_hs=False, 128-multiple input
+    channels): the in-kernel input projection must match the external
+    projection + scanned recurrence, fwd and grads (params AND input)."""
+    rng = np.random.default_rng(13)
+    cin = 128
+    xs = jnp.asarray(
+        rng.normal(size=(2, 5, HW_SIDE, HW_SIDE, cin)), jnp.float32
+    )
+    kw = dict(features=F, x_kernel=(1, 1))
+    scanned = ConvLSTM(fused=False, **kw)
+    fused = ConvLSTM(fused=True, **kw)
+    state0 = ConvLSTMCell.initial_state(2, HW_SIDE, HW_SIDE, F)
+    params = scanned.init(jax.random.PRNGKey(0), state0, xs)
+    # Same param tree: the proj-fused path declares input/kernel + input/bias
+    # at the same paths as the external projection.
+    p2 = fused.init(jax.random.PRNGKey(0), state0, xs, need_hs=False)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+    (c_s, h_s), _ = scanned.apply(params, state0, xs)
+    (c_f, h_f), hs_none = fused.apply(params, state0, xs, need_hs=False)
+    assert hs_none is None
+    np.testing.assert_allclose(h_f, h_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(c_f, c_s, rtol=2e-5, atol=2e-5)
+
+    def loss(mod, need):
+        def f(p, xs):
+            (c_t, h_t), _ = mod.apply(p, state0, xs, need_hs=need)
+            return jnp.sum(h_t**2) + 0.5 * jnp.sum(c_t**2)
+        return f
+
+    g_s = jax.grad(loss(scanned, True), argnums=(0, 1))(params, xs)
+    g_f = jax.grad(loss(fused, False), argnums=(0, 1))(params, xs)
+    flat_s = jax.tree_util.tree_leaves_with_path(g_s)
+    flat_f = jax.tree.leaves(g_f)
+    for (path, a), b in zip(flat_s, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=_GRAD_TOL, atol=_GRAD_TOL,
+            err_msg=str(path),
+        )
