@@ -66,6 +66,73 @@ class ConvEncoder(nn.Module):
         return h
 
 
+@jax.custom_vjp
+def _upsample2x2(x, kernel, bias):
+    """kernel==stride (2,2) ConvTranspose, forward identical to flax's.
+
+    Exists for its hand-written VJP: XLA's transpose rule for the dilated-conv
+    lowering spatially REVERSES activation-sized tensors (measured 0.30
+    ms/step across the decoder at production shapes).  For k == s the
+    transpose conv is non-overlapping, so both grads are plain strided convs:
+      dx = conv_k2s2_VALID(dy, K[::-1, ::-1].swapaxes(2, 3))
+      dK = (native conv-dW of that same strided conv), un-flipped
+    — no data reverse anywhere.  Verified exactly against the autodiff of
+    nn.ConvTranspose (tests/test_models.py::test_fast_upsample_vjp).
+    """
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_transpose(
+        x, kernel, (2, 2), "SAME", dimension_numbers=dn, transpose_kernel=False
+    )
+    return y + bias
+
+
+def _upsample2x2_fwd(x, kernel, bias):
+    return _upsample2x2(x, kernel, bias), (x, kernel)
+
+
+def _upsample2x2_bwd(res, dy):
+    x, kernel = res
+    dn = ("NHWC", "HWIO", "NHWC")
+    k2 = kernel[::-1, ::-1].swapaxes(2, 3)  # (2, 2, O, C); kernel-sized flip
+    dx = jax.lax.conv_general_dilated(
+        dy, k2, (2, 2), "VALID", dimension_numbers=dn
+    ).astype(x.dtype)
+    f = lambda w2: jax.lax.conv_general_dilated(
+        dy, w2, (2, 2), "VALID", dimension_numbers=dn
+    )
+    (dw2,) = jax.vjp(f, jnp.zeros_like(k2))[1](x)
+    dk = dw2[::-1, ::-1].transpose(0, 1, 3, 2).astype(kernel.dtype)
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2)).astype(dy.dtype)
+    return dx, dk, db
+
+
+_upsample2x2.defvjp(_upsample2x2_fwd, _upsample2x2_bwd)
+
+
+class Upsample2x2(nn.Module):
+    """Drop-in nn.ConvTranspose(features, (2, 2), strides=(2, 2)): same param
+    tree (kernel (2, 2, C, O) + bias), init, and forward; reverse-free VJP
+    (see _upsample2x2).  Pass name='ConvTranspose_N' for checkpoint compat."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2, 2, c, self.features)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        return _upsample2x2(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            bias.astype(self.dtype),
+        )
+
+
 class ConvDecoder(nn.Module):
     """Frame decoder, mirror of ConvEncoder; emits 1-channel logits.
 
@@ -100,9 +167,19 @@ class ConvDecoder(nn.Module):
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
         h = h.astype(self.dtype)
+        # Upsample2x2 == nn.ConvTranspose(ch, (2,2), strides=(2,2)) with a
+        # reverse-free VJP; explicit names keep the historic param tree.
+        n_up = 0
+
+        def up(ch):
+            nonlocal n_up
+            mod = Upsample2x2(ch, dtype=self.dtype, name=f"ConvTranspose_{n_up}")
+            n_up += 1
+            return mod
+
         if self.upsample == "fast":
             chs = list(self.channels)
-            h = nn.ConvTranspose(chs[0], (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+            h = up(chs[0])(h)
             h = nn.relu(h)
             # Cross-cell spatial mixing, once, as early (= narrow + wide-
             # channel) as possible.
@@ -111,20 +188,20 @@ class ConvDecoder(nn.Module):
                 nn.Conv(mix_ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
             )
             for ch in chs[2:]:
-                h = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+                h = up(ch)(h)
                 h = nn.relu(h)
             # Final upsample straight to 1-channel logits: the only full-res
             # tensor in the decoder is the logits themselves.
-            logits = nn.ConvTranspose(1, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+            logits = up(1)(h)
             return logits.astype(jnp.float32)
         if self.upsample == "fast_hq":
             for ch in self.channels[:-1]:
-                h = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+                h = up(ch)(h)
                 h = nn.relu(h)
             h = nn.relu(
                 nn.Conv(self.channels[-1], (3, 3), padding="SAME", dtype=self.dtype)(h)
             )
-            logits = nn.ConvTranspose(1, (2, 2), strides=(2, 2), dtype=self.dtype)(h)
+            logits = up(1)(h)
             return logits.astype(jnp.float32)
         for ch in self.channels:
             h = nn.ConvTranspose(

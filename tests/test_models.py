@@ -271,3 +271,35 @@ class TestDecoderModes:
         p = m.init(jax.random.PRNGKey(0), x, lambda mu, lv, salt=0: mu)
         out = m.apply(p, x, lambda mu, lv, salt=0: mu)
         assert out.logits.shape == (2, 3, 64, 64)
+
+
+def test_fast_upsample_vjp():
+    """Upsample2x2 (reverse-free VJP) == nn.ConvTranspose((2,2),s=(2,2)):
+    identical param tree, forward, and gradients (to f32 accumulation)."""
+    import numpy as np
+    from flax import linen as nn
+    from mmvae_tpu.models.base import Upsample2x2
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 16)), jnp.float32)
+    ref = nn.ConvTranspose(24, (2, 2), strides=(2, 2))
+    new = Upsample2x2(24)
+    p = ref.init(jax.random.PRNGKey(0), x)
+    p2 = new.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(p) == jax.tree.structure(p2)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    np.testing.assert_allclose(
+        new.apply(p, x), ref.apply(p, x), rtol=1e-6, atol=1e-6
+    )
+
+    def loss(mod):
+        return lambda p, x: jnp.sum(jnp.sin(mod.apply(p, x)))
+
+    g_ref = jax.grad(loss(ref), argnums=(0, 1))(p, x)
+    g_new = jax.grad(loss(new), argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_new)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5
+        )
