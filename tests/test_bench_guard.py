@@ -27,7 +27,11 @@ def test_headline_throughput_no_regression():
     from mmvae_tpu.configs import get_config
 
     committed = json.loads(HISTORY.read_text())
-    latest = committed[-1]["frames_per_sec_chip"]
+    # Compare against the newest entry for the DEFAULT headline config —
+    # history also records quality-knob configurations (fast_hq etc.) whose
+    # throughput is deliberately lower.
+    defaults = [e for e in committed if e["config"] == "seq_vae"]
+    latest = defaults[-1]["frames_per_sec_chip"]
 
     result = run_benchmark(get_config("seq_vae"), steps=30, warmup=10)
     measured = result["value"]
