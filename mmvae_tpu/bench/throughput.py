@@ -49,7 +49,9 @@ def run_benchmark(
     profile_dir: Optional[str] = None,
 ) -> Dict:
     from mmvae_tpu.parallel import mesh as pmesh
-    from mmvae_tpu.train.loop import build_model, make_train_step, _sample_shape
+    from mmvae_tpu.train.loop import (
+        build_model, chunk_steps, make_train_step, _sample_shape,
+    )
     from mmvae_tpu.train.state import create_train_state
 
     model = build_model(cfg)
@@ -76,17 +78,29 @@ def run_benchmark(
         resident_shape=sample_shape,
         per_frame=cfg.data.per_frame,
     )
+    # K-step dispatch chunking (train.steps_per_call): the production
+    # resident-mode fused dispatch — the bench measures whatever the config
+    # trains with.  `steps` stays the number of TRAIN steps per window.
+    spc = max(int(getattr(cfg.train, "steps_per_call", 1)), 1)
+    if steps % spc:
+        raise ValueError(
+            f"bench steps ({steps}) must be a multiple of "
+            f"train.steps_per_call ({spc})"
+        )
     if use_dp:
         inner = make_train_step(
             model, axis_name=pmesh.DATA_AXIS, **step_kwargs
         )
+        if spc > 1:
+            inner = chunk_steps(inner, spc)
         step_fn = pmesh.dp_step(inner, device_mesh)
         batch_sharding = pmesh.batch_sharding(device_mesh)
         state = jax.device_put(state, pmesh.replicated_sharding(device_mesh))
     else:
-        step_fn = jax.jit(
-            make_train_step(model, **step_kwargs), donate_argnums=(0,)
-        )
+        inner = make_train_step(model, **step_kwargs)
+        if spc > 1:
+            inner = chunk_steps(inner, spc)
+        step_fn = jax.jit(inner, donate_argnums=(0,))
         batch_sharding = None
 
     # Resident dataset at the PRODUCTION size (the config's full train split,
@@ -115,32 +129,37 @@ def run_benchmark(
     flops_per_step = None
     try:
         ca = step_fn.lower(state, batch).compile().cost_analysis()
-        flops_per_step = float(ca.get("flops", 0.0)) or None
+        # cost analysis counts the whole CALL; normalize to one train step.
+        flops_per_step = (float(ca.get("flops", 0.0)) / spc) or None
     except Exception:
         pass  # cost analysis is backend-optional; MFU just gets omitted
 
-    for _ in range(warmup):
+    def _fetch_loss(m) -> float:
+        # With steps_per_call > 1 metrics are stacked (spc,); take the last.
+        return float(np.asarray(m["loss"]).ravel()[-1])
+
+    for _ in range(max(warmup // spc, 1)):
         state, metrics = step_fn(state, batch)
     # Hard host-level sync: fetching a metric forces the full pipeline to
     # drain (block_until_ready alone showed a first-window artifact on the
     # axon-tunneled chip).
-    float(np.asarray(metrics["loss"]))
+    _fetch_loss(metrics)
 
     if profile_dir:
         # One profiled window for TensorBoard/Perfetto op-level analysis.
         from mmvae_tpu.utils.profiling import trace
 
         with trace(profile_dir):
-            for _ in range(min(steps, 20)):
+            for _ in range(max(min(steps, 20) // spc, 1)):
                 state, metrics = step_fn(state, batch)
-            float(np.asarray(metrics["loss"]))
+            _fetch_loss(metrics)
 
     windows = []
     for _rep in range(3):
         t0 = time.perf_counter()
-        for _ in range(steps):
+        for _ in range(steps // spc):
             state, metrics = step_fn(state, batch)
-        float(np.asarray(metrics["loss"]))
+        _fetch_loss(metrics)
         windows.append(time.perf_counter() - t0)
     dt = float(np.median(windows))
 
@@ -167,7 +186,7 @@ def run_benchmark(
         "wall_sec": round(dt, 3),
         "n_devices": n_dev,
         "device": jax.devices()[0].device_kind,
-        "final_loss": float(np.asarray(metrics["loss"])),
+        "final_loss": _fetch_loss(metrics),
         "flops_per_step": flops_per_step,
         "tflops_per_sec_chip": round(tflops_sec, 2) if tflops_sec else None,
         "mfu": round(mfu, 4) if mfu else None,

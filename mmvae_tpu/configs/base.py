@@ -67,6 +67,9 @@ class TrainConfig:
     debug_nans: bool = False            # jax_debug_nans guard around training
     transfer_guard: bool = False        # disallow implicit host<->device syncs
                                         # around every train step (hazard guard)
+    steps_per_call: int = 1             # fuse K steps into one dispatch via
+                                        # lax.scan (resident mode only; K must
+                                        # divide log/eval/checkpoint cadences)
 
 
 @dataclasses.dataclass

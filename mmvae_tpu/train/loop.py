@@ -212,6 +212,29 @@ def make_train_step(
     return step
 
 
+def chunk_steps(step: Callable, n_steps: int) -> Callable:
+    """Fuse `n_steps` consecutive train steps into ONE traced call (lax.scan).
+
+    Semantically identical to calling `step` n_steps times: per-step RNG seeds
+    derive from the in-graph step counter and the resident batch gather is
+    in-graph, so the scan body is self-contained given (state, dataset).  One
+    dispatch amortizes the per-call host->device launch gap (measured ~0.3 ms
+    on the axon-tunneled chip) over n_steps.  Metrics come back stacked with a
+    leading (n_steps,) axis so callers keep per-step curves.
+
+    Only valid for the device-resident data path (`resident_batch` set) —
+    streaming mode needs one host batch per step.
+    """
+
+    def chunk(state: TrainState, data: jax.Array):
+        def body(s, _):
+            return step(s, data)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return chunk
+
+
 def make_eval_step(model, *, binarize: bool = True, use_pallas=None, mesh=None):
     """Jitted eval step; with `mesh` (size > 1) it runs data-parallel under
     shard_map like the train step — batch split over the 'data' axis, metrics
@@ -334,15 +357,43 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         resident_epochs=cfg.data.resident_epochs,
         resident_seed=cfg.data.seed,
     )
+    spc = max(int(cfg.train.steps_per_call), 1)
+    if spc > 1:
+        if not resident:
+            raise ValueError(
+                "train.steps_per_call > 1 requires the device-resident data "
+                "path (streaming mode needs one host batch per step)"
+            )
+        cadences = {
+            "train.steps": steps,
+            "train.log_every": cfg.train.log_every,
+            "train.eval_every": cfg.train.eval_every,
+            "train.checkpoint_every": cfg.train.checkpoint_every,
+        }
+        for name, v in cadences.items():
+            if v and v % spc:
+                raise ValueError(
+                    f"{name} ({v}) must be a multiple of "
+                    f"train.steps_per_call ({spc})"
+                )
+        if start_step % spc:
+            raise ValueError(
+                f"resumed step {start_step} is not a multiple of "
+                f"train.steps_per_call ({spc})"
+            )
+
     if use_dp:
         inner = make_train_step(model, axis_name=pmesh.DATA_AXIS, **step_kwargs)
+        if spc > 1:
+            inner = chunk_steps(inner, spc)
         train_step = pmesh.dp_step(inner, device_mesh)
         sharding = pmesh.batch_sharding(device_mesh)
         state = jax.device_put(state, pmesh.replicated_sharding(device_mesh))
     else:
-        train_step = jax.jit(
-            make_train_step(model, **step_kwargs), donate_argnums=(0,)
-        )
+        inner = make_train_step(model, **step_kwargs)
+        if spc > 1:
+            inner = chunk_steps(inner, spc)
+        train_step = jax.jit(inner, donate_argnums=(0,))
         sharding = None
 
     if resident:
@@ -512,24 +563,30 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     with feed_ctx as feed:
         pending = None  # (step_idx, metrics) fetched one interval late
         val_metrics: dict = {}
-        for i in range(start_step, steps):
+        for i in range(start_step, steps, spc):
             batch = data_dev if host_iter is None else next(feed)
             state, metrics = train_step(state, batch)
-            latest["state"], latest["step"] = state, i + 1
-            if (i + 1) % cfg.train.log_every == 0 or i + 1 == steps:
+            end = i + spc
+            if spc > 1:
+                # chunk_steps stacks per-step metrics on a leading axis; log
+                # the chunk's LAST step (== the cadence boundary, since every
+                # cadence is a multiple of spc).
+                metrics = jax.tree.map(lambda x: x[-1], metrics)
+            latest["state"], latest["step"] = state, end
+            if end % cfg.train.log_every == 0 or end == steps:
                 if pending is not None:
                     history.append(logger.log(pending[0], {**pending[1], **val_metrics}))
                     val_metrics = {}
-                pending = (i + 1, metrics)  # fetch next interval (no sync stall)
-            if cfg.train.eval_every and (i + 1) % cfg.train.eval_every == 0:
+                pending = (end, metrics)  # fetch next interval (no sync stall)
+            if cfg.train.eval_every and end % cfg.train.eval_every == 0:
                 val_metrics = run_eval(state.params)
             if (
                 cfg.train.checkpoint_dir
-                and (i + 1) % cfg.train.checkpoint_every == 0
+                and end % cfg.train.checkpoint_every == 0
             ):
                 # Async: the write happens on orbax's background thread; one
                 # host batch == one step, so the data cursor is the step.
-                ckpt.save(cfg.train.checkpoint_dir, state, i + 1, data_step=i + 1)
+                ckpt.save(cfg.train.checkpoint_dir, state, end, data_step=end)
         if pending is not None:
             # Final fetch happens right after dispatch — the wall-clock window
             # does not cover the steps, so skip the throughput figure.

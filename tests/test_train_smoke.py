@@ -168,6 +168,100 @@ def test_device_resident_epoch_mode_trains():
     assert losses[-1] < losses[0]
 
 
+def test_steps_per_call_chunk_matches_sequential():
+    """chunk_steps(step, K) must be step-for-step identical to K sequential
+    dispatches: seeds derive from the in-graph step counter and the resident
+    gather is in-graph, so chunking only changes dispatch granularity."""
+    import jax.numpy as jnp
+
+    from mmvae_tpu.data import transforms
+    from mmvae_tpu.train.loop import (
+        build_model, chunk_steps, make_train_step, _sample_shape,
+    )
+    from mmvae_tpu.train.state import create_train_state
+
+    cfg = _tiny_config("mlp_vae")
+    model = build_model(cfg)
+    state0 = create_train_state(
+        model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+    )
+    data = transforms.pack_resident(
+        np.random.default_rng(0).integers(
+            0, 256, (10, 4, 64, 64), dtype=np.uint8
+        ),
+        per_frame=True,
+    )
+    data = jnp.asarray(data)
+    step = make_train_step(
+        model,
+        binarize=cfg.data.binarize,
+        use_pallas=False,
+        resident_batch=8,
+        resident_shape=(64, 64),
+        per_frame=True,
+    )
+    seq_step = jax.jit(step)
+    s_seq = state0
+    seq_metrics = []
+    for _ in range(6):
+        s_seq, m = seq_step(s_seq, data)
+        seq_metrics.append(float(np.asarray(m["loss"])))
+
+    chunked = jax.jit(chunk_steps(step, 3))
+    s_chunk = state0
+    chunk_metrics = []
+    for _ in range(2):
+        s_chunk, ms = chunked(s_chunk, data)
+        chunk_metrics.extend(np.asarray(ms["loss"]).tolist())
+
+    assert int(np.asarray(s_chunk.step)) == 6
+    np.testing.assert_allclose(chunk_metrics, seq_metrics, rtol=2e-6)
+    for a, b in zip(
+        jax.tree.leaves(s_chunk.params), jax.tree.leaves(s_seq.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7
+        )
+
+
+def test_fit_steps_per_call():
+    """fit() with train.steps_per_call > 1 trains the same number of steps
+    with 1/K dispatches; metrics/logging land on the same cadence boundaries."""
+    from mmvae_tpu.train.loop import fit
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.data.device_resident = True
+    cfg.train.steps = 30
+    cfg.train.log_every = 10
+    cfg.train.steps_per_call = 5
+    state, history = fit(cfg)
+    assert int(np.asarray(state.step)) == 30
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert [h["step"] for h in history] == [10, 20, 30]
+
+
+def test_steps_per_call_validation():
+    import pytest as _pytest
+
+    from mmvae_tpu.train.loop import fit
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.data.device_resident = False  # streaming: unsupported
+    cfg.train.steps_per_call = 2
+    cfg.train.steps = 4
+    with _pytest.raises(ValueError, match="device-resident"):
+        fit(cfg)
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.data.device_resident = True
+    cfg.train.steps_per_call = 4
+    cfg.train.steps = 10  # not a multiple of 4
+    with _pytest.raises(ValueError, match="multiple of"):
+        fit(cfg)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mmvae_tpu.train import checkpoint as ckpt
     from mmvae_tpu.train.loop import build_model, fit, _sample_shape
