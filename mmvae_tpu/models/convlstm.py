@@ -223,11 +223,14 @@ class ConvLSTM(nn.Module):
         t = length or t_in
         fused = self.fused
         if fused is None:
-            # Measured policy (docs/RESULTS.md round 3): the fused kernel wins
-            # for streaming inputs (encoder: 1.77 vs 2.01 ms at B=64/T=20 on
-            # v5e) but loses for the time-constant decoder drive (2.03 vs
-            # 1.81 ms — the revisited dxg accumulator block costs more than
-            # XLA's broadcast-input scan saves), so auto = fused iff streaming.
+            # Measured policy (round 3, re-measured round 5 — docs/RESULTS.md):
+            # the fused kernel wins streaming fwd+bwd (3.31 vs 3.64 ms at
+            # B=64/T=20 F=128 bf16 on v5e).  For the time-constant decoder
+            # drive it now wins the ISOLATED microbench too (2.89 vs 3.14 ms)
+            # but loses in the full production step (157.0k vs 160.6k
+            # frames/s end-to-end: the kernel's gates-residual write and
+            # stiffer scheduling displace more overlap than the isolated win
+            # is worth), so auto stays fused iff streaming.
             fused = jax.default_backend() == "tpu" and not (t_in == 1 and t > 1)
         xk = self.x_kernel or self.kernel
         if (

@@ -780,6 +780,7 @@ def _bwd_kernel(
     dxg_ref, dw_ref, dc0_ref, dh0_ref,
     dc_s, dh_s, dxg_s,
     *, height, width, feat, block_b, t_total, const_input, last_only=False,
+    dxg_stream=False,
 ):
     b_i = pl.program_id(0)
     i = pl.program_id(1)          # 0 .. T-1, walking time BACKWARD
@@ -859,7 +860,7 @@ def _bwd_kernel(
     )
 
     # d xg_t = dgates (identity path through the + in gates = xg + conv(h)).
-    if const_input:
+    if const_input and not dxg_stream:
         # Accumulate in f32 scratch and store ONCE at the end: a revisited
         # output block would serialize against its own flush and defeat
         # store double-buffering (measured slower).
@@ -872,6 +873,9 @@ def _bwd_kernel(
         def _store_dxg():
             dxg_ref[:] = dxg_s[:].reshape(dxg_ref.shape).astype(dxg_ref.dtype)
     else:
+        # dxg_stream (const input): per-step dgates go to DISTINCT output
+        # blocks (double-buffered stores, no serializing accumulator); the
+        # caller sums over T outside the kernel.
         dxg_ref[:] = dgates.reshape(dxg_ref.shape).astype(dxg_ref.dtype)
 
     # dh_prev = transpose of (mask . shift) conv.  ONE (rows, 4F) x (4F, 9F)
@@ -916,8 +920,14 @@ def _bwd_kernel(
 def _bwd_impl(
     w, c0, h0, hs, cs, gates, dhs, dc_last,
     height, width, t_out, const_input, interpret, xg_t_in, xg_dtype,
-    gate_dtype=jnp.float32, last_only=False,
+    gate_dtype=jnp.float32, last_only=False, dxg_stream=False,
 ):
+    """dxg_stream (const-input path only): stream per-step dgates to distinct
+    HBM blocks in xg's dtype and sum over T outside (one fused XLA reduce)
+    instead of accumulating in a VMEM scratch block.  Trades the scratch
+    `+=` + end-of-grid flush for T double-buffered stores plus an extra
+    B*T*HW*4F HBM round trip — measured slower at the production decoder
+    shape (see docs/RESULTS.md round-5 note), kept as a measured-off knob."""
     if interpret is None:
         interpret = _interpret_default()
     batch, _, hw, f4 = gates.shape
@@ -926,6 +936,7 @@ def _bwd_impl(
     nb = batch // block_b
     grid = (nb, t_out)
     t_total = t_out
+    stream = bool(const_input and dxg_stream)
 
     # (4F, 9F) flat transpose: wtf[c, k*F + f] = W[k, f, c] -> dh taps come
     # out of ONE (rows, 4F) x (4F, 9F) matmul, sliced per tap.
@@ -938,12 +949,12 @@ def _bwd_impl(
         # Block t-1 clamped at 0; the kernel switches to h0/c0 when t == 0.
         return (b, jnp.maximum(t_total - 2 - i, 0), 0, 0)
 
-    dxg_index = (lambda b, i: (b, 0, 0, 0)) if const_input else rev
+    dxg_index = (lambda b, i: (b, 0, 0, 0)) if (const_input and not stream) else rev
 
     kernel = functools.partial(
         _bwd_kernel, height=height, width=width, feat=feat,
         block_b=block_b, t_total=t_total, const_input=const_input,
-        last_only=last_only,
+        last_only=last_only, dxg_stream=stream,
     )
     bspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     flops_step = 2 * 2 * batch * hw * 9 * feat * 4 * feat
@@ -974,10 +985,11 @@ def _bwd_impl(
             bspec((block_b, hw, feat), lambda b, i: (b, 0, 0)),
         ),
         out_shape=(
-            # const-input dxg accumulates over all T steps -> keep it f32.
+            # const-input dxg accumulates over all T steps -> keep it f32
+            # (streamed variant emits per-step blocks in xg's dtype instead).
             jax.ShapeDtypeStruct(
-                (batch, xg_t_in if const_input else t_out, hw, f4),
-                jnp.float32 if const_input else xg_dtype,
+                (batch, t_out if stream or not const_input else xg_t_in, hw, f4),
+                xg_dtype if stream or not const_input else jnp.float32,
             ),
             jax.ShapeDtypeStruct((9 * feat, f4), jnp.float32),
             jax.ShapeDtypeStruct((batch, hw, feat), c0.dtype),
@@ -986,9 +998,10 @@ def _bwd_impl(
         scratch_shapes=[
             pltpu.VMEM((block_b * hw, feat), jnp.float32),
             pltpu.VMEM((block_b * hw, feat), jnp.float32),
-            # dxg accumulator (const-input path); minimal when unused.
+            # dxg accumulator (const-input accum path); minimal when unused.
             pltpu.VMEM(
-                (block_b * hw, 4 * feat) if const_input else (8, 128),
+                (block_b * hw, 4 * feat) if (const_input and not stream)
+                else (8, 128),
                 jnp.float32,
             ),
         ],
@@ -1002,6 +1015,9 @@ def _bwd_impl(
         ),
         interpret=interpret,
     )(wtf, c0, h0, hs, cs, cs, gates, dhs, dc_last)
+    if stream:
+        # Per-step dgates blocks -> the const input's single-step cotangent.
+        dxg = dxg.astype(jnp.float32).sum(axis=1, keepdims=True)
     return dxg.astype(xg_dtype), dw.astype(w.dtype), dc0, dh0
 
 

@@ -139,6 +139,21 @@ class TestFusedConvLSTM:
     def test_grads_const_input(self):
         self._grad_check(self.token, length=T)
 
+    def test_grads_const_input_dxg_stream(self):
+        """The streamed-dxg backward variant (measured-off knob,
+        ops.convlstm_pallas._bwd_impl(dxg_stream=True)) computes the same
+        VJP as the default VMEM-accumulator path."""
+        import functools
+
+        from mmvae_tpu.ops import convlstm_pallas as cp
+
+        orig = cp._bwd_impl
+        try:
+            cp._bwd_impl = functools.partial(orig, dxg_stream=True)
+            self._grad_check(self.token, length=T)
+        finally:
+            cp._bwd_impl = orig
+
     def test_seq_vae_fused_end_to_end(self):
         """Whole flagship model, fused vs scanned: same params, same loss,
         same param grads."""
