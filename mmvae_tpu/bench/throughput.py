@@ -129,8 +129,10 @@ def run_benchmark(
     flops_per_step = None
     try:
         ca = step_fn.lower(state, batch).compile().cost_analysis()
-        # cost analysis counts the whole CALL; normalize to one train step.
-        flops_per_step = (float(ca.get("flops", 0.0)) / spc) or None
+        # XLA's cost analysis counts a while/scan BODY once (not trip_count
+        # times), so the chunked spc-step call already reports one train
+        # step's flops — measured: ca(spc=5) == ca(spc=1).  No spc division.
+        flops_per_step = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass  # cost analysis is backend-optional; MFU just gets omitted
 
