@@ -36,7 +36,9 @@ class VAEOutput(NamedTuple):
     """
 
     logits: jax.Array  # same shape as target
-    target: jax.Array  # frames the likelihood scores, f32 in [0,1] or {0,1}
+    target: jax.Array  # frames the likelihood scores, [0,1] or {0,1}; f32, or
+    #                    bf16 on the binarized TPU path ({0,1} is bf16-exact —
+    #                    the ELBO reduce upcasts to f32 before accumulating)
     mu: jax.Array      # (B, L) top-level posterior mean
     logvar: jax.Array  # (B, L) top-level posterior log-variance
     z: jax.Array       # (B, L) sampled latent

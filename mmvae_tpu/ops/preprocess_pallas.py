@@ -44,9 +44,14 @@ def _kernel(seed_ref, u8_ref, out_ref, *, binarize):
         # Mosaic has no direct u8->f32 cast; widen to int32 first.
         pix = u8_ref[:].astype(jnp.int32).astype(jnp.float32)
         thresh = pix * (float(1 << 24) / 255.0)
-        out_ref[:] = (u24.astype(jnp.float32) < thresh).astype(jnp.float32)
+        # astype(out dtype): {0,1} is exact in bf16, so the bf16 output mode
+        # is bitwise-equivalent data at half the HBM write (+ downstream read)
+        # traffic.
+        out_ref[:] = (u24.astype(jnp.float32) < thresh).astype(out_ref.dtype)
     else:
-        out_ref[:] = u8_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+        out_ref[:] = (
+            u8_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+        ).astype(out_ref.dtype)
 
 
 def preprocess_pallas(
@@ -55,8 +60,14 @@ def preprocess_pallas(
     *,
     binarize: bool = True,
     interpret: bool | None = None,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
-    """uint8 (any shape, size % 128 == 0) -> f32, normalized or binarized."""
+    """uint8 (any shape, size % 128 == 0) -> f32, normalized or binarized.
+
+    out_dtype=bfloat16 halves the output's HBM traffic; for binarize=True the
+    {0,1} values are EXACT in bf16 (the ELBO kernel upcasts to f32 before
+    accumulating), for normalize mode it rounds u8/255 to bf16 (~0.2%).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if interpret and binarize:
@@ -64,7 +75,7 @@ def preprocess_pallas(
         from mmvae_tpu.data import transforms
 
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(()))
-        return transforms.preprocess(u8, rng=key)
+        return transforms.preprocess(u8, rng=key).astype(out_dtype)
     n = u8.size
     shape = u8.shape
     cols = _BLOCK_COLS if n % _BLOCK_COLS == 0 else _LANE
@@ -85,7 +96,7 @@ def preprocess_pallas(
         out_specs=pl.BlockSpec(
             (block_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), out_dtype),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), u8.reshape(rows, cols))
     return out.reshape(shape)
@@ -119,9 +130,9 @@ def _packed_kernel(seed_ref, w_ref, out_ref, *, binarize):
         bits = pltpu.bitcast(pltpu.prng_random_bits(rep.shape), jnp.int32)
         u24 = jax.lax.shift_right_logical(bits, 8)
         thresh = pix * (float(1 << 24) / 255.0)
-        out_ref[:] = (u24.astype(jnp.float32) < thresh).astype(jnp.float32)
+        out_ref[:] = (u24.astype(jnp.float32) < thresh).astype(out_ref.dtype)
     else:
-        out_ref[:] = pix * (1.0 / 255.0)
+        out_ref[:] = (pix * (1.0 / 255.0)).astype(out_ref.dtype)
 
 
 def preprocess_packed_pallas(
@@ -131,8 +142,11 @@ def preprocess_packed_pallas(
     *,
     binarize: bool = True,
     interpret: bool | None = None,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """int32-packed resident rows (B, bytes/4) -> f32 (B, *sample_shape).
+
+    out_dtype=bfloat16: see `preprocess_pallas` (exact for binarize=True).
 
     Fuses the byte unpack with normalize/Bernoulli-binarize in one pass —
     the packed rows are read straight from the resident-gather output, and
@@ -149,7 +163,9 @@ def preprocess_packed_pallas(
 
         u8 = transforms.unpack_sample(packed, sample_shape)
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(()))
-        return transforms.preprocess(u8, rng=key if binarize else None)
+        return transforms.preprocess(u8, rng=key if binarize else None).astype(
+            out_dtype
+        )
     if packed.ndim != 2:
         raise ValueError(f"packed rows must be 2-D, got {packed.shape}")
     n = packed.size
@@ -171,7 +187,7 @@ def preprocess_packed_pallas(
         out_specs=pl.BlockSpec(
             (block_rows, 4 * cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rows, 4 * cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, 4 * cols), out_dtype),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), packed.reshape(rows, cols))
     return out.reshape(out_shape)

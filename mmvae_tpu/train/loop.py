@@ -74,6 +74,16 @@ def make_loss_fn(
     the UNSCALED bce and kl so curves stay comparable across beta schedules.
     """
 
+    # Binarized {0,1} frames are EXACT in bf16, so when the model computes in
+    # bf16 the Pallas preprocess emits bf16 directly: half the frame-tensor
+    # HBM write + the encoder/ELBO reads, bitwise-identical data.  (f32 is
+    # kept for normalize mode, where bf16 would round u8/255.)
+    frame_dtype = (
+        jnp.bfloat16
+        if binarize and getattr(model, "dtype", jnp.float32) == jnp.bfloat16
+        else jnp.float32
+    )
+
     def loss_fn(params, batch_u8, seed, beta=1.0):
         pallas = use_pallas or (use_pallas is None and jax.default_backend() == "tpu")
         packed = batch_u8.dtype == jnp.int32
@@ -87,6 +97,7 @@ def make_loss_fn(
                     stream_seed(seed, STREAM_PREPROCESS),
                     resident_shape,
                     binarize=binarize,
+                    out_dtype=frame_dtype,
                 )
             elif packed:
                 # XLA path: bitcast unpack + threefry binarize.  One unified
@@ -106,7 +117,8 @@ def make_loss_fn(
                 from mmvae_tpu.ops.seeds import STREAM_PREPROCESS, stream_seed
 
                 x = preprocess_pallas(
-                    batch_u8, stream_seed(seed, STREAM_PREPROCESS), binarize=binarize
+                    batch_u8, stream_seed(seed, STREAM_PREPROCESS),
+                    binarize=binarize, out_dtype=frame_dtype,
                 )
             else:
                 # Same unified derivation as the packed XLA path above.

@@ -50,6 +50,32 @@ class TestPreprocessPallas:
         with pytest.raises(ValueError):
             preprocess_pallas(jnp.zeros((3, 9), jnp.uint8), jnp.int32(0), binarize=False)
 
+    def test_bf16_binarize_bitwise_matches_f32(self, rng):
+        # {0,1} draws are exact in bf16: same seed => identical data, half
+        # the HBM traffic.  (The train loop uses bf16 frames when the model
+        # computes in bf16 — loop.make_loss_fn frame_dtype.)
+        u8 = jnp.asarray(rng.integers(0, 256, (8, 64, 64), dtype=np.uint8))
+        f32 = preprocess_pallas(u8, jnp.int32(5), binarize=True)
+        bf16 = preprocess_pallas(
+            u8, jnp.int32(5), binarize=True, out_dtype=jnp.bfloat16
+        )
+        assert bf16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(f32), np.asarray(bf16.astype(jnp.float32))
+        )
+
+    def test_bf16_normalize_rounds(self, rng):
+        u8 = jnp.asarray(rng.integers(0, 256, (8, 64, 64), dtype=np.uint8))
+        out = preprocess_pallas(
+            u8, jnp.int32(0), binarize=False, out_dtype=jnp.bfloat16
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out.astype(jnp.float32)),
+            np.asarray(normalize(u8)),
+            atol=1 / 255,  # bf16 has ~3 decimal digits; u8/255 rounds
+        )
+
 
 class TestPreprocessPackedPallas:
     """int32-packed variant: byte unpack fused into the kernel.
@@ -94,3 +120,14 @@ class TestPreprocessPackedPallas:
         c = preprocess_packed_pallas(packed, jnp.int32(2), (1, 64, 64))
         assert jnp.array_equal(a, b)
         assert not jnp.array_equal(a, c)
+
+    def test_bf16_binarize_bitwise_matches_f32(self, rng):
+        packed, u8, shape = self._packed(rng)
+        f32 = preprocess_packed_pallas(packed, jnp.int32(5), shape)
+        bf16 = preprocess_packed_pallas(
+            packed, jnp.int32(5), shape, out_dtype=jnp.bfloat16
+        )
+        assert bf16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(f32), np.asarray(bf16.astype(jnp.float32))
+        )
