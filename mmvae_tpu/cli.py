@@ -1,7 +1,8 @@
-"""CLI: `mmvae train|sample|bench` (SURVEY.md C19, layer L7).
+"""CLI: `mmvae train|eval|sample|bench` (SURVEY.md C19, layer L7).
 
 Examples:
     mmvae train --config seq_vae --set train.steps=2000 --set optim.lr=3e-4
+    mmvae eval --config seq_vae --ckpt /tmp/ck
     mmvae sample --config conv_vae --ckpt /tmp/ck --out samples.png
     mmvae bench --config seq_vae --steps 200
 """
@@ -40,6 +41,17 @@ def main(argv=None) -> int:
     p_sample.add_argument("--batch", type=int, default=8)
     p_sample.add_argument("--seed", type=int, default=0)
 
+    p_eval = sub.add_parser(
+        "eval", help="held-out-split ELBO from a checkpoint (one JSON line)"
+    )
+    _add_common(p_eval)
+    p_eval.add_argument("--ckpt", required=True, help="checkpoint directory")
+    p_eval.add_argument(
+        "--batches", type=int, default=None,
+        help="max val batches (default: the whole split once)",
+    )
+    p_eval.add_argument("--seed", type=int, default=1)
+
     p_bench = sub.add_parser("bench", help="measure training frames/sec")
     _add_common(p_bench)
     p_bench.add_argument("--steps", type=int, default=200)
@@ -65,6 +77,18 @@ def main(argv=None) -> int:
 
     if args.cmd == "sample":
         return _sample(cfg, args)
+
+    if args.cmd == "eval":
+        from mmvae_tpu.train.loop import evaluate
+
+        result = evaluate(
+            cfg, args.ckpt, max_batches=args.batches, seed=args.seed
+        )
+        if result["step"] == 0:
+            print(f"warning: no checkpoint found in {args.ckpt}; "
+                  "evaluating init params", file=sys.stderr)
+        print(json.dumps(result))
+        return 0
 
     if args.cmd == "bench":
         from mmvae_tpu.bench.throughput import run_benchmark

@@ -297,6 +297,71 @@ def _sample_shape(cfg) -> tuple:
     return (cfg.data.batch_size, cfg.data.seq_len, s, s)
 
 
+def evaluate(
+    cfg, ckpt_dir: Optional[str] = None, *, params=None,
+    max_batches: Optional[int] = None, seed: int = 1,
+) -> dict:
+    """Standalone eval pass: val-split ELBO/BCE/KL from a checkpoint.
+
+    The reference-workflow equivalent of its `test(epoch)` loop (SURVEY.md
+    3.1), runnable outside training: `mmvae eval --config ... --ckpt DIR`.
+    Walks the whole held-out split once by default (single device; the
+    in-training eval path handles the sharded case).  Returns
+    {"step", "batches", "val_loss", "val_bce", "val_kl"} — sum-per-sample,
+    averaged over batches, same convention as the training metrics.
+    """
+    model = build_model(cfg)
+    if params is None:
+        if not ckpt_dir:
+            raise ValueError("evaluate() needs ckpt_dir or params")
+        template = create_train_state(
+            model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        )
+        state, step, _ = ckpt.restore_latest(ckpt_dir, template)
+        params = state.params
+    else:
+        step = -1
+
+    val_dataset = load_or_generate(
+        cfg.data.path,
+        num_sequences=cfg.data.num_sequences,
+        seq_len=cfg.data.seq_len,
+        num_digits=cfg.data.num_digits,
+        seed=cfg.data.seed,
+        train_fraction=cfg.data.train_fraction,
+        train=False,
+    )
+    avail = (
+        len(val_dataset) * max(val_dataset.data.shape[1], 1)
+        if cfg.data.per_frame
+        else len(val_dataset)
+    )
+    vbs = min(cfg.data.batch_size, avail)
+    if vbs == 0:
+        return {"step": step, "batches": 0}
+    n_batches = max(avail // vbs, 1)
+    if max_batches is not None:
+        n_batches = min(n_batches, max_batches)
+
+    eval_step = make_eval_step(
+        model, binarize=cfg.data.binarize, use_pallas=cfg.train.use_pallas
+    )
+    it = (
+        val_dataset.frame_batches(vbs, seed=seed, num_epochs=1)
+        if cfg.data.per_frame
+        else val_dataset.batches(vbs, seed=seed, num_epochs=1)
+    )
+    acc, n = None, 0
+    for _, vb in zip(range(n_batches), it):
+        m = eval_step(params, jax.device_put(vb), jnp.int32(seed + n))
+        m = {k: float(np.asarray(v)) for k, v in m.items()}
+        acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+        n += 1
+    out = {"step": int(step), "batches": n}
+    out.update({f"val_{k}": v / n for k, v in (acc or {}).items()})
+    return out
+
+
 def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     """Epoch driver (SURVEY.md call stack 3.1, 'new framework' column)."""
     steps = max_steps or cfg.train.steps

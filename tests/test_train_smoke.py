@@ -110,6 +110,41 @@ def test_device_resident_per_clip():
     assert losses[-1] < losses[0]
 
 
+def test_standalone_evaluate_from_checkpoint(tmp_path, capsys):
+    """`mmvae eval` — the reference's test(epoch) as a standalone pass: val
+    ELBO from a checkpoint must be finite, better than an untrained model's,
+    and the CLI must emit it as one JSON line."""
+    import json
+
+    from mmvae_tpu import cli
+    from mmvae_tpu.train.loop import evaluate, fit
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.train.steps = 30
+    cfg.train.checkpoint_every = 30
+    cfg.train.checkpoint_dir = str(tmp_path / "ck")
+    fit(cfg)
+
+    trained = evaluate(cfg, cfg.train.checkpoint_dir)
+    assert trained["step"] == 30
+    assert trained["batches"] >= 1
+    assert np.isfinite(trained["val_loss"])
+    # Walking the tiny val split twice with the same seed is deterministic.
+    again = evaluate(cfg, cfg.train.checkpoint_dir)
+    assert again == trained
+
+    untrained = evaluate(cfg, str(tmp_path / "nonexistent"))
+    assert untrained["step"] == 0
+    assert trained["val_loss"] < untrained["val_loss"]
+
+    argv = ["eval", "--config", "mlp_vae", "--ckpt", cfg.train.checkpoint_dir]
+    for ov in TINY_OVERRIDES["mlp_vae"] + SMALL_MODEL:
+        argv += ["--set", ov]
+    assert cli.main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["step"] == 30 and np.isfinite(out["val_loss"])
+
+
 def test_resident_epoch_indices_cover_each_row_once():
     """data.resident_epochs=True must give shuffled-epoch (no-replacement)
     semantics: within one epoch every row appears exactly once, and epochs
