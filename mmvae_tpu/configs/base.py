@@ -220,6 +220,10 @@ CONFIG_REGISTRY = {
 
 
 def get_config(name: str, overrides: Tuple[str, ...] = ()) -> Config:
+    if name not in CONFIG_REGISTRY:
+        raise KeyError(
+            f"unknown config {name!r}; available: {', '.join(CONFIG_REGISTRY)}"
+        )
     cfg = CONFIG_REGISTRY[name]()
     for ov in overrides:
         key, _, val = ov.partition("=")

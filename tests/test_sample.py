@@ -78,6 +78,42 @@ class TestGenerate:
         fut = gen.rollout(m, p, ctx, 5, jax.random.key(0))
         assert fut.shape == (2, 5, 64, 64)
 
+    def test_cli_sample_modes(self, tmp_path):
+        """End-to-end CLI plumbing: checkpoint restore -> generate -> file.
+        (The generate API above is unit-tested; this covers the `mmvae
+        sample` arg wiring itself, all three modes.)"""
+        from mmvae_tpu import cli
+        from mmvae_tpu.configs import get_config
+        from mmvae_tpu.train.loop import fit
+
+        overrides = [
+            "model.kwargs.latent_dim=8", "model.kwargs.hidden_dim=32",
+            "data.batch_size=32", "data.num_sequences=32",
+            "train.data_parallel=false", "model.dtype=float32",
+        ]
+        cfg = get_config("mlp_vae", tuple(overrides))
+        cfg.train.steps = 5
+        cfg.train.checkpoint_every = 5
+        cfg.train.checkpoint_dir = str(tmp_path / "ck")
+        fit(cfg)
+
+        for mode, out in [
+            ("prior", "p.png"), ("reconstruct", "r.png"),
+        ]:
+            argv = ["sample", "--config", "mlp_vae", "--ckpt",
+                    cfg.train.checkpoint_dir, "--mode", mode,
+                    "--out", str(tmp_path / out), "--batch", "4"]
+            for ov in overrides:
+                argv += ["--set", ov]
+            assert cli.main(argv) == 0
+            assert (tmp_path / out).exists()
+
+    def test_cli_unknown_config_message(self):
+        from mmvae_tpu.configs import get_config
+
+        with pytest.raises(KeyError, match="unknown config 'nope'; available"):
+            get_config("nope")
+
     def test_save_grid_and_gif(self, tmp_path):
         frames = np.random.default_rng(0).uniform(size=(4, 3, 64, 64)).astype(np.float32)
         png = tmp_path / "g.png"
