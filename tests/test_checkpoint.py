@@ -144,7 +144,11 @@ class TestSigtermCheckpoint:
         ckdir = str(tmp_path / "ck")
         rc, log = self._run_child(ckdir)
         if rc != -signal.SIGTERM:
-            rc, log = self._run_child(str(tmp_path / "ck2"))
+            # Retry in a fresh dir and restore from THAT dir below — restoring
+            # the first attempt's (empty) dir fails the test even when the
+            # retry succeeded.
+            ckdir = str(tmp_path / "ck2")
+            rc, log = self._run_child(ckdir)
         assert rc == -signal.SIGTERM, (
             f"child exited rc={rc} (expected SIGTERM re-raise); log:\n{log}"
         )  # handler re-raises the default action

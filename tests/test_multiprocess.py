@@ -26,8 +26,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_streaming_dp():
+    # Bounded by the communicate(timeout=240) below; pytest-timeout is not
+    # installed in this image, so a mark would be silently inert.
     port = _free_port()
     env = {
         k: v
