@@ -81,12 +81,15 @@ def main(argv=None) -> int:
     if args.cmd == "eval":
         from mmvae_tpu.train.loop import evaluate
 
-        result = evaluate(
-            cfg, args.ckpt, max_batches=args.batches, seed=args.seed
-        )
-        if result["step"] == 0:
-            print(f"warning: no checkpoint found in {args.ckpt}; "
-                  "evaluating init params", file=sys.stderr)
+        try:
+            result = evaluate(
+                cfg, args.ckpt, max_batches=args.batches, seed=args.seed
+            )
+        except FileNotFoundError as e:
+            # A typo'd --ckpt must fail loudly, not score init params and
+            # exit 0 with a plausible JSON line (scripted use would trust it).
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(json.dumps(result))
         return 0
 

@@ -111,6 +111,15 @@ def _coerce(value: str, current: Any) -> Any:
         )
     if value.lower() in ("none", "null"):
         return None
+    if isinstance(current, (tuple, list)) or "," in value:
+        # Comma-separated tuple, e.g. --set model.kwargs.enc_channels=4,8;
+        # elements coerce against the current tuple's first element (or by
+        # int/float/str inference when the key is new).
+        parts = [p.strip() for p in value.split(",") if p.strip()]
+        elem = (
+            current[0] if isinstance(current, (tuple, list)) and current else None
+        )
+        return tuple(_coerce(p, elem) for p in parts)
     if isinstance(current, int) and not isinstance(current, bool):
         return int(value)
     if isinstance(current, float):

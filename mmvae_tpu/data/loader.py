@@ -171,6 +171,11 @@ class MovingMNIST:
     ) -> Iterator[np.ndarray]:
         """Yield shuffled (batch_size, T, H, W) uint8 batches, reshuffled each epoch.
 
+        `drop_remainder=False` additionally yields the short final batch of
+        each epoch (fewer than batch_size rows), so one epoch covers every
+        row exactly once — the eval path.  The training path keeps the
+        default True: a jitted train step wants one static batch shape.
+
         `skip_batches` fast-forwards the (deterministic, seeded) stream past
         the first N batches without copying data — the resume path: a run
         restored at step N continues on the batches an uninterrupted run would
@@ -181,9 +186,10 @@ class MovingMNIST:
             raise ValueError(f"dataset ({n}) smaller than batch ({batch_size})")
         rng = np.random.default_rng(seed)
         epoch = 0
+        limit = n - batch_size + 1 if drop_remainder else n
         while num_epochs is None or epoch < num_epochs:
             perm = rng.permutation(n)
-            for i in range(0, n - batch_size + 1, batch_size):
+            for i in range(0, limit, batch_size):
                 if skip_batches > 0:
                     skip_batches -= 1
                     continue
@@ -196,22 +202,24 @@ class MovingMNIST:
         *,
         seed: int = 0,
         num_epochs: Optional[int] = None,
+        drop_remainder: bool = True,
         skip_batches: int = 0,
     ) -> Iterator[np.ndarray]:
         """Yield (batch_size, H, W) uint8 batches of individual frames.
 
         For the per-frame models (configs 1-2: "single 64x64 frames").  Each
         epoch is one shuffled pass over every (sequence, t) frame.
-        `skip_batches` as in `batches`.
+        `drop_remainder`/`skip_batches` as in `batches`.
         """
         n, t = self.split_data.shape[:2]
         total = n * t
         rng = np.random.default_rng(seed)
         flat = self.split_data.reshape(total, *self.split_data.shape[2:])
         epoch = 0
+        limit = total - batch_size + 1 if drop_remainder else total
         while num_epochs is None or epoch < num_epochs:
             perm = rng.permutation(total)
-            for i in range(0, total - batch_size + 1, batch_size):
+            for i in range(0, limit, batch_size):
                 if skip_batches > 0:
                     skip_batches -= 1
                     continue

@@ -44,6 +44,23 @@ def _manager(directory: str) -> ocp.CheckpointManager:
     return _managers[directory]
 
 
+def latest_step(directory: str):
+    """Newest saved step in `directory`, or None — WITHOUT creating the
+    directory (building the manager would, via create=True: a typo'd --ckpt
+    path must not silently materialize and evaluate init params)."""
+    directory = os.path.abspath(directory)
+    if directory in _managers:
+        return _managers[directory].latest_step()
+    if not os.path.isdir(directory):
+        return None
+    steps = [
+        int(e.name)
+        for e in os.scandir(directory)
+        if e.is_dir() and e.name.isdigit()
+    ]
+    return max(steps, default=None)
+
+
 def _dynamic(state: TrainState, data_step: int = 0):
     return {
         "step": state.step,

@@ -305,15 +305,24 @@ def evaluate(
 
     The reference-workflow equivalent of its `test(epoch)` loop (SURVEY.md
     3.1), runnable outside training: `mmvae eval --config ... --ckpt DIR`.
-    Walks the whole held-out split once by default (single device; the
-    in-training eval path handles the sharded case).  Returns
-    {"step", "batches", "val_loss", "val_bce", "val_kl"} — sum-per-sample,
-    averaged over batches, same convention as the training metrics.
+    Walks the whole held-out split once by default — every row exactly once,
+    including the short final batch; metrics are sample-weighted so the tail
+    counts proportionally (single device; the in-training eval path handles
+    the sharded case).  Per-batch eval seeds match the in-training `run_eval`
+    stream (seed + batch index, default seed 1), so with dynamic binarization
+    `mmvae eval` at step N reproduces the in-training val metric at N when
+    the batch size matches.  Raises FileNotFoundError when `ckpt_dir` holds
+    no checkpoint — scoring init params silently is a scripting hazard; pass
+    `params=` to eval unrestored weights deliberately.  Returns {"step",
+    "batches", "samples", "val_loss", "val_bce", "val_kl"} — sum-per-sample,
+    same convention as the training metrics.
     """
     model = build_model(cfg)
     if params is None:
         if not ckpt_dir:
             raise ValueError("evaluate() needs ckpt_dir or params")
+        if ckpt.latest_step(ckpt_dir) is None:
+            raise FileNotFoundError(f"no checkpoint found in {ckpt_dir!r}")
         template = create_train_state(
             model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
         )
@@ -338,8 +347,8 @@ def evaluate(
     )
     vbs = min(cfg.data.batch_size, avail)
     if vbs == 0:
-        return {"step": step, "batches": 0}
-    n_batches = max(avail // vbs, 1)
+        return {"step": step, "batches": 0, "samples": 0}
+    n_batches = -(-avail // vbs)  # ceil: the short tail batch counts too
     if max_batches is not None:
         n_batches = min(n_batches, max_batches)
 
@@ -347,18 +356,24 @@ def evaluate(
         model, binarize=cfg.data.binarize, use_pallas=cfg.train.use_pallas
     )
     it = (
-        val_dataset.frame_batches(vbs, seed=seed, num_epochs=1)
+        val_dataset.frame_batches(
+            vbs, seed=seed, num_epochs=1, drop_remainder=False
+        )
         if cfg.data.per_frame
-        else val_dataset.batches(vbs, seed=seed, num_epochs=1)
+        else val_dataset.batches(vbs, seed=seed, num_epochs=1, drop_remainder=False)
     )
-    acc, n = None, 0
+    acc, n, seen = None, 0, 0
     for _, vb in zip(range(n_batches), it):
         m = eval_step(params, jax.device_put(vb), jnp.int32(seed + n))
-        m = {k: float(np.asarray(v)) for k, v in m.items()}
+        b = vb.shape[0]
+        # Sample-weighted: per-batch metrics are means-per-sample, so the
+        # short tail batch must count by its true size, not 1/n_batches.
+        m = {k: float(np.asarray(v)) * b for k, v in m.items()}
         acc = m if acc is None else {k: acc[k] + m[k] for k in m}
         n += 1
-    out = {"step": int(step), "batches": n}
-    out.update({f"val_{k}": v / n for k, v in (acc or {}).items()})
+        seen += b
+    out = {"step": int(step), "batches": n, "samples": seen}
+    out.update({f"val_{k}": v / seen for k, v in (acc or {}).items()})
     return out
 
 
@@ -547,6 +562,10 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         mesh=device_mesh if use_dp else None,
     )
 
+    # Replicated (non-shard_map) eval step for a tail batch that doesn't
+    # divide the mesh — built lazily, at most once (single-process DP only).
+    _tail_eval = {}
+
     def run_eval(params) -> dict:
         # Use the training batch size when the val split allows, else shrink
         # to the split (costs one extra jit specialization, once).  Under DP
@@ -568,23 +587,51 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
             vbs -= vbs % max(div, 1)
         if vbs == 0:
             return {}
+        # Multi-process eval keeps full batches only: every process must issue
+        # the same number of collective steps and a cross-process short tail
+        # can't be assembled by put_global; single-process walks the tail too.
+        full_only = jax.process_count() > 1
         it = (
-            val_dataset.frame_batches(vbs, seed=1, num_epochs=1)
-            if cfg.data.per_frame
-            else val_dataset.batches(vbs, seed=1, num_epochs=1)
-        )
-        acc, n = None, 0
-        for _, vb in zip(range(cfg.train.eval_batches), it):
-            vb_dev = (
-                pmesh.put_global(vb, sharding) if use_dp else jax.device_put(vb)
+            val_dataset.frame_batches(
+                vbs, seed=1, num_epochs=1, drop_remainder=full_only
             )
-            m = eval_step(params, vb_dev, jnp.int32(n))
-            m = {k: float(np.asarray(v)) for k, v in m.items()}
+            if cfg.data.per_frame
+            else val_dataset.batches(
+                vbs, seed=1, num_epochs=1, drop_remainder=full_only
+            )
+        )
+        acc, n, seen = None, 0, 0
+        for _, vb in zip(range(cfg.train.eval_batches), it):
+            b = vb.shape[0]
+            # Per-batch seeds match evaluate()'s stream (its default seed 1),
+            # so standalone `mmvae eval` reproduces these numbers.
+            eval_seed = jnp.int32(1 + n)
+            if use_dp and b % n_dev:
+                # Short tail that doesn't divide the mesh: score it on a
+                # replicated step instead of dropping the rows.
+                if "fn" not in _tail_eval:
+                    _tail_eval["fn"] = make_eval_step(
+                        model,
+                        binarize=cfg.data.binarize,
+                        use_pallas=cfg.train.use_pallas,
+                    )
+                m = _tail_eval["fn"](params, jax.device_put(vb), eval_seed)
+            else:
+                vb_dev = (
+                    pmesh.put_global(vb, sharding)
+                    if use_dp
+                    else jax.device_put(vb)
+                )
+                m = eval_step(params, vb_dev, eval_seed)
+            # Sample-weighted: per-batch metrics are means-per-sample, so a
+            # short tail batch counts by its true size.
+            m = {k: float(np.asarray(v)) * b for k, v in m.items()}
             acc = m if acc is None else {k: acc[k] + m[k] for k in m}
             n += 1
+            seen += b
         if not acc:
             return {}
-        return {f"val_{k}": v / n for k, v in acc.items()}
+        return {f"val_{k}": v / seen for k, v in acc.items()}
     frames_per_step = (
         cfg.data.batch_size
         if cfg.data.per_frame

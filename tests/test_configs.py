@@ -38,6 +38,19 @@ class TestOverrides:
         cfg = get_config("mlp_vae", ("model.kwargs.latent_dim=5",))
         assert cfg.model.kwargs["latent_dim"] == 5
 
+    def test_tuple_override(self):
+        """Comma-separated values coerce to tuples (element type from the
+        existing tuple, or int/float inference for new model kwargs)."""
+        cfg = get_config(
+            "seq_vae",
+            (
+                "model.kwargs.enc_channels=4,8",
+                "model.kwargs.mix=1.5,2.5",
+            ),
+        )
+        assert cfg.model.kwargs["enc_channels"] == (4, 8)
+        assert cfg.model.kwargs["mix"] == (1.5, 2.5)
+
     def test_none_override(self):
         cfg = get_config("mlp_vae", ("train.checkpoint_dir=/tmp/x",))
         assert cfg.train.checkpoint_dir == "/tmp/x"

