@@ -81,6 +81,12 @@ def save(
 ) -> None:
     """Checkpoint `state` at `step`; async unless `wait` (final/preemption)."""
     mngr = _manager(directory)
+    if force:
+        # A forced save (final step, SIGTERM preemption) can land while a
+        # periodic ASYNC save for a DIFFERENT step is still committing on
+        # orbax's background thread; overlapping saves there are undefined.
+        # Drain the in-flight commit first so the forced save starts clean.
+        mngr.wait_until_finished()
     if step in (mngr.all_steps() or ()):  # already saved (e.g. final == periodic)
         # The step may still be COMMITTING on orbax's background thread (the
         # final save of a run whose last step is a checkpoint_every multiple

