@@ -174,11 +174,17 @@ def config_seq_vae() -> Config:
         #       beats the historical best 3170, at -12% fps: 121k fenced)
         # enc_x_kernel=3 on top costs a further -13% fps and buys NO
         # additional ELBO at 20k (3161 vs 3128) — not a step worth taking.
+        # remat=True: nn.remat on the DECODER scan body (the encoder runs the
+        # proj-fused Pallas kernel, which keeps its own residuals) — the
+        # backward recomputes gates instead of streaming the scan's saved
+        # residuals from HBM, which buys overlap: 160.1k -> 163.5k frames/s
+        # measured e2e (round 7), bit-identical loss.  pred_vae measured the
+        # same knob as a LOSS (309.5k -> 298.7k) and keeps it off.
         model=ModelConfig(
             name="seq_vae",
             kwargs={
                 "latent_dim": 128, "unroll": 20, "gate_bf16": True,
-                "enc_x_kernel": 1,
+                "enc_x_kernel": 1, "remat": True,
             },
             dtype="bfloat16",
         ),
