@@ -46,7 +46,7 @@ def preprocess(u8: jax.Array, rng: jax.Array | None = None) -> jax.Array:
 
 
 def pack_resident(rows, per_frame: bool = False):
-    """uint8 (N, T, H, W) -> int32 (n_samples, bytes/4) for fast row gather.
+    """uint8 (N, T, H, W) -> int32 (n_samples, bytes/512, 128) row gather pack.
 
     per_frame=True flattens time into the row axis (one row per frame) so the
     per-frame models gather single frames directly.
@@ -58,6 +58,14 @@ def pack_resident(rows, per_frame: bool = False):
     reads word c%128, shifted by 8*(c//128) — which lands original byte c in
     lane c with zero cross-lane data movement).  `unpack_sample` is the
     inverse (round-trip tested in tests/test_data.py).
+
+    The returned shape is 3-D — one (words/128, 128) *tile-aligned plane* per
+    sample — so the (8,128) TPU tiling lives entirely WITHIN a row and the
+    per-step batch gather moves whole tiles (a pure DMA).  Flat 2-D (N, words)
+    rows tile 8 consecutive SAMPLES together, making every row gather a
+    cross-sublane relayout: measured 2.84 ms vs 0.29 ms per 16x400KB gather
+    on v5e (scripts/bench_gather.py; the 2-D layout cost 18% of the whole
+    hier_vae step).
     """
     import numpy as np
 
@@ -78,14 +86,19 @@ def pack_resident(rows, per_frame: bool = False):
     planar = np.ascontiguousarray(
         flat.reshape(n, nb // 512, 4, 128).transpose(0, 1, 3, 2)
     )
-    return planar.reshape(n, nb // 4, 4).view(np.int32)[..., 0]
+    return (
+        planar.reshape(n, nb // 4, 4).view(np.int32)[..., 0]
+        .reshape(n, nb // 512, 128)
+    )
 
 
 def unpack_sample(packed_i32: jax.Array, sample_shape) -> jax.Array:
-    """int32 (B, bytes/4) -> uint8 (B, *sample_shape): inverse of the
-    chunk-planar `pack_resident` layout (bitcast + per-chunk transpose,
-    fused by XLA)."""
-    b, words = packed_i32.shape
+    """int32 packed rows (B, words/128, 128) [or legacy (B, words)] -> uint8
+    (B, *sample_shape): inverse of the chunk-planar `pack_resident` layout
+    (bitcast + per-chunk transpose, fused by XLA)."""
+    b = packed_i32.shape[0]
+    words = packed_i32.size // b
+    packed_i32 = packed_i32.reshape(b, words)
     u8 = jax.lax.bitcast_convert_type(packed_i32, jnp.uint8)  # (B, words, 4)
     u8 = u8.reshape(b, words // 128, 128, 4).transpose(0, 1, 3, 2)
     return u8.reshape((b,) + tuple(sample_shape))

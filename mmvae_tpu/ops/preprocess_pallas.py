@@ -144,7 +144,7 @@ def preprocess_packed_pallas(
     interpret: bool | None = None,
     out_dtype=jnp.float32,
 ) -> jax.Array:
-    """int32-packed resident rows (B, bytes/4) -> f32 (B, *sample_shape).
+    """int32-packed resident rows (B, words/128, 128) -> f32 (B, *sample_shape).
 
     out_dtype=bfloat16: see `preprocess_pallas` (exact for binarize=True).
 
@@ -166,8 +166,10 @@ def preprocess_packed_pallas(
         return transforms.preprocess(u8, rng=key if binarize else None).astype(
             out_dtype
         )
-    if packed.ndim != 2:
-        raise ValueError(f"packed rows must be 2-D, got {packed.shape}")
+    if packed.ndim == 3 and packed.shape[-1] != _LANE:
+        raise ValueError(f"3-D packed rows must end in {_LANE}, got {packed.shape}")
+    if packed.ndim not in (2, 3):
+        raise ValueError(f"packed rows must be 2-D or 3-D, got {packed.shape}")
     n = packed.size
     cols = _LANE
     if n % cols:

@@ -489,8 +489,9 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         sharding = None
 
     if resident:
-        # Per-process disjoint slice (C1), int32-packed one row per sample —
-        # u8 row gathers are ~5x slower on TPU (see transforms.pack_resident).
+        # Per-process disjoint slice (C1), int32-packed one tile-aligned
+        # (words/128, 128) plane per sample — u8 and flat-2-D row gathers are
+        # 5-10x slower on TPU (see transforms.pack_resident).
         rows = transforms.pack_resident(
             dataset.split_data, per_frame=cfg.data.per_frame
         )

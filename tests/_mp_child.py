@@ -130,8 +130,8 @@ def main(process_id: int, port: int) -> None:
     )
     n_proc_rows = rows.shape[0]
     assert data_dev.shape == (
-        n_proc_rows * jax.process_count(), rows.shape[1],
-    ), data_dev.shape
+        n_proc_rows * jax.process_count(),
+    ) + rows.shape[1:], data_dev.shape
     for shard in data_dev.addressable_shards:
         start = shard.index[0].start or 0
         local_row = start - p * n_proc_rows
