@@ -169,11 +169,12 @@ def config_seq_vae() -> Config:
         # encoder LSTM's input projection a pure matmul (+15% end-to-end;
         # the 3x3 projection was the step's largest op group) at a measured
         # ~3% train-ELBO cost at 20k steps.  The quality knob (measured
-        # fresh in round 4, docs/RESULTS.md):
-        #   --set model.kwargs.dec_upsample=fast_hq     (20k ELBO 3474->3128,
-        #       beats the historical best 3170, at -12% fps: 121k fenced)
-        # enc_x_kernel=3 on top costs a further -13% fps and buys NO
-        # additional ELBO at 20k (3161 vs 3128) — not a step worth taking.
+        # fresh in rounds 4/8, docs/RESULTS.md):
+        #   --set model.kwargs.dec_upsample=fast_mid    (20k train ELBO 3032,
+        #       best known, at 143.4k fps fenced — dominates fast_hq's
+        #       3128/139.2k on train ELBO; fast_hq keeps a ~2% val edge)
+        # enc_x_kernel=3 on top of fast_hq costs a further -13% fps and buys
+        # NO additional ELBO at 20k (3161 vs 3128) — not a step worth taking.
         # remat=True: nn.remat on the DECODER scan body (the encoder runs the
         # proj-fused Pallas kernel, which keeps its own residuals) — the
         # backward recomputes gates instead of streaming the scan's saved

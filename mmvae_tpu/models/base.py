@@ -154,6 +154,8 @@ class ConvDecoder(nn.Module):
       step of pure `reverse` flips over 670 MB tensors); round-2 moved it to
       half-res (+32%); round-3 profiling showed the 32x32 mixing backward
       still cost ~1.7 ms/step and moved it here.
+    - "fast_mid": "fast" plus a half-width 3x3 mix after the 32x32 upsample —
+      the measured middle point of the quality ladder (docs/RESULTS.md).
     - "fast_hq": same 2x2-transpose skeleton but with the 3x3 mixing at HALF
       resolution (the round-2 layout).  ~14% slower end-to-end than "fast"
       but reaches a ~6% better train ELBO at 20k steps (measured: 3170 vs
@@ -179,7 +181,7 @@ class ConvDecoder(nn.Module):
             n_up += 1
             return mod
 
-        if self.upsample == "fast":
+        if self.upsample in ("fast", "fast_k4tail"):
             chs = list(self.channels)
             h = up(chs[0])(h)
             h = nn.relu(h)
@@ -194,6 +196,42 @@ class ConvDecoder(nn.Module):
                 h = nn.relu(h)
             # Final upsample straight to 1-channel logits: the only full-res
             # tensor in the decoder is the logits themselves.
+            if self.upsample == "fast_k4tail":
+                # Overlapping 4x4/s2 final transpose: each logit pixel blends
+                # a 2x2 neighborhood of 32x32 cells — smoothing at the logits
+                # surface for ~1.3 GF/step (the full-res tensors stay
+                # 1-channel, so the round-1 reverse pathology can't recur).
+                logits = nn.ConvTranspose(
+                    1, (4, 4), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype, name="k4_tail",
+                )(h)
+            else:
+                logits = up(1)(h)
+            return logits.astype(jnp.float32)
+        if self.upsample == "fast_mid":
+            # "fast" + a HALF-WIDTH 3x3 mix after the 32x32 upsample: the
+            # middle point of the fast/fast_hq quality ladder (VERDICT r2
+            # next-1 #6).  fast_hq's whole quality edge comes from letting
+            # the model smooth the 2x2-block boundaries of the 16->32
+            # upsample; a narrow 3x3 there buys that smoothing at ~1/4 of
+            # fast_hq's mixing FLOPs while keeping fast's wide-channel
+            # 16x16 mix.
+            chs = list(self.channels)
+            h = up(chs[0])(h)
+            h = nn.relu(h)
+            mix_ch = chs[1] if len(chs) > 1 else chs[0]
+            h = nn.relu(
+                nn.Conv(mix_ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
+            )
+            for ch in chs[2:]:
+                h = up(ch)(h)
+                h = nn.relu(h)
+            h = nn.relu(
+                nn.Conv(
+                    max(chs[-1] // 2, 8), (3, 3), padding="SAME",
+                    dtype=self.dtype, name="mid_mix",
+                )(h)
+            )
             logits = up(1)(h)
             return logits.astype(jnp.float32)
         if self.upsample == "fast_hq":

@@ -244,7 +244,9 @@ class TestDecoderModes:
     """ConvDecoder layout knob: all modes emit (N, 64, 64, 1) logits and
     train; "fast_hq" reproduces the round-2 half-res-mixing layout."""
 
-    @pytest.mark.parametrize("mode", ["fast", "fast_hq", "transpose"])
+    @pytest.mark.parametrize(
+        "mode", ["fast", "fast_mid", "fast_k4tail", "fast_hq", "transpose"]
+    )
     def test_decoder_mode_shapes(self, mode):
         import jax
         import jax.numpy as jnp
