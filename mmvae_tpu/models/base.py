@@ -156,6 +156,9 @@ class ConvDecoder(nn.Module):
       still cost ~1.7 ms/step and moved it here.
     - "fast_mid": "fast" plus a half-width 3x3 mix after the 32x32 upsample —
       the measured middle point of the quality ladder (docs/RESULTS.md).
+    - "fast_midw": "fast_mid" with the 32x32 mix at FULL width (chs[-1]) —
+      doubles the mid-mix FLOPs to probe whether the fast_mid/fast_hq val
+      gap is mid-mix capacity (measured: docs/RESULTS.md round-8 ladder).
     - "fast_hq": same 2x2-transpose skeleton but with the 3x3 mixing at HALF
       resolution (the round-2 layout).  ~14% slower end-to-end than "fast"
       but reaches a ~6% better train ELBO at 20k steps (measured: 3170 vs
@@ -208,7 +211,7 @@ class ConvDecoder(nn.Module):
             else:
                 logits = up(1)(h)
             return logits.astype(jnp.float32)
-        if self.upsample == "fast_mid":
+        if self.upsample in ("fast_mid", "fast_midw"):
             # "fast" + a HALF-WIDTH 3x3 mix after the 32x32 upsample: the
             # middle point of the fast/fast_hq quality ladder (VERDICT r2
             # next-1 #6).  fast_hq's whole quality edge comes from letting
@@ -226,9 +229,12 @@ class ConvDecoder(nn.Module):
             for ch in chs[2:]:
                 h = up(ch)(h)
                 h = nn.relu(h)
+            mid_w = (
+                chs[-1] if self.upsample == "fast_midw" else max(chs[-1] // 2, 8)
+            )
             h = nn.relu(
                 nn.Conv(
-                    max(chs[-1] // 2, 8), (3, 3), padding="SAME",
+                    mid_w, (3, 3), padding="SAME",
                     dtype=self.dtype, name="mid_mix",
                 )(h)
             )

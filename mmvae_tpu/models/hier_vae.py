@@ -64,7 +64,7 @@ class HierVideoVAE(nn.Module):
     unroll: int = 1  # chunk-scan unroll factor for both ConvLSTMs
     gate_bf16: bool = False  # bf16 pointwise gate math + cell state
     fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
-    dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_hq | transpose
+    dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_mid | fast_midw | fast_hq | transpose
     enc_x_kernel: int = 3  # chunk LSTM input-projection kernel (1 = matmul)
 
     def setup(self):

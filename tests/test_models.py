@@ -245,7 +245,8 @@ class TestDecoderModes:
     train; "fast_hq" reproduces the round-2 half-res-mixing layout."""
 
     @pytest.mark.parametrize(
-        "mode", ["fast", "fast_mid", "fast_k4tail", "fast_hq", "transpose"]
+        "mode",
+        ["fast", "fast_mid", "fast_midw", "fast_k4tail", "fast_hq", "transpose"],
     )
     def test_decoder_mode_shapes(self, mode):
         import jax
