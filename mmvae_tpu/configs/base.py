@@ -47,6 +47,13 @@ class OptimConfig:
     grad_clip: Optional[float] = None   # global-norm clip; None = off
     beta: float = 1.0                   # KL weight (beta-VAE); 1.0 = plain ELBO
     kl_warmup_steps: int = 0            # linear beta ramp 0 -> beta over N steps
+    # Learning-rate schedule (the reference trains at a fixed Adam LR, so
+    # "constant" is the parity default; decay is a pure framework knob).
+    lr_schedule: str = "constant"       # constant | cosine | linear
+    lr_warmup_steps: int = 0            # linear 0 -> lr ramp before the decay
+    lr_decay_steps: int = 0             # decay horizon; 0 = train.steps
+                                        # (resolved by get_config/fit)
+    lr_end_ratio: float = 0.0           # final lr as a fraction of peak lr
 
 
 @dataclasses.dataclass
@@ -244,4 +251,7 @@ def get_config(name: str, overrides: Tuple[str, ...] = ()) -> Config:
     for ov in overrides:
         key, _, val = ov.partition("=")
         cfg.override(key.strip(), val.strip())
+    if cfg.optim.lr_schedule != "constant" and cfg.optim.lr_decay_steps <= 0:
+        # A decaying schedule needs a horizon; default it to the run length.
+        cfg.optim.lr_decay_steps = cfg.train.steps
     return cfg

@@ -30,8 +30,44 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def make_lr(optim_cfg):
+    """Learning rate (float or optax schedule) from an OptimConfig.
+
+    "constant" (the reference-parity default: fixed Adam LR) returns the bare
+    float so the optimizer pytree is unchanged vs earlier checkpoints; any
+    warmup/decay returns an optax schedule of the step count.
+    """
+    lr = optim_cfg.lr
+    sched = getattr(optim_cfg, "lr_schedule", "constant")
+    warmup = getattr(optim_cfg, "lr_warmup_steps", 0)
+    if sched == "constant":
+        if warmup <= 0:
+            return lr
+        return optax.schedules.linear_schedule(0.0, lr, warmup)
+    decay = getattr(optim_cfg, "lr_decay_steps", 0)
+    if decay <= 0:
+        raise ValueError(
+            f"optim.lr_schedule={sched!r} needs optim.lr_decay_steps > 0 "
+            "(get_config defaults it to train.steps)"
+        )
+    end = lr * getattr(optim_cfg, "lr_end_ratio", 0.0)
+    if sched == "cosine":
+        return optax.schedules.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, decay, end
+        )
+    if sched == "linear":
+        ramp = optax.schedules.linear_schedule(0.0, lr, max(warmup, 1))
+        fall = optax.schedules.linear_schedule(lr, end, decay - warmup)
+        if warmup <= 0:
+            return fall
+        return optax.schedules.join_schedules([ramp, fall], [warmup])
+    raise ValueError(
+        f"unknown optim.lr_schedule {sched!r}; use constant | cosine | linear"
+    )
+
+
 def make_optimizer(optim_cfg) -> optax.GradientTransformation:
-    tx = optax.adam(optim_cfg.lr, b1=optim_cfg.b1, b2=optim_cfg.b2)
+    tx = optax.adam(make_lr(optim_cfg), b1=optim_cfg.b1, b2=optim_cfg.b2)
     if optim_cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(optim_cfg.grad_clip), tx)
     return tx

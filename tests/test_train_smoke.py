@@ -85,6 +85,61 @@ def test_beta_kl_warmup():
     assert all(h["kl"] >= 0 or np.isfinite(h["kl"]) for h in history)
 
 
+def test_lr_schedule_values_and_training():
+    """make_lr: constant stays a float (checkpoint-stable optimizer pytree);
+    cosine/linear decay from lr to lr*end_ratio over the horizon, warmup
+    ramps from 0; get_config defaults the horizon to train.steps.  Training
+    under a cosine schedule still decreases the loss."""
+    import numpy as np
+    from mmvae_tpu.train.loop import fit
+    from mmvae_tpu.train.state import make_lr
+
+    cfg = _tiny_config("mlp_vae")
+    assert make_lr(cfg.optim) == cfg.optim.lr  # plain float, not a schedule
+
+    cfg.optim.lr_schedule = "cosine"
+    cfg.optim.lr_warmup_steps = 5
+    cfg.optim.lr_decay_steps = 20
+    cfg.optim.lr_end_ratio = 0.1
+    sched = make_lr(cfg.optim)
+    assert float(sched(0)) == 0.0
+    assert np.isclose(float(sched(5)), cfg.optim.lr)
+    assert np.isclose(float(sched(20)), 0.1 * cfg.optim.lr)
+
+    cfg.optim.lr_schedule = "linear"
+    sched = make_lr(cfg.optim)
+    assert np.isclose(float(sched(5)), cfg.optim.lr)
+    mid = float(sched(12))
+    assert 0.1 * cfg.optim.lr < mid < cfg.optim.lr
+    assert np.isclose(float(sched(20)), 0.1 * cfg.optim.lr)
+
+    # get_config resolves a zero horizon to the run length.
+    cfg2 = get_config(
+        "mlp_vae", ("optim.lr_schedule=cosine", "train.steps=123")
+    )
+    assert cfg2.optim.lr_decay_steps == 123
+
+    # unknown schedule / missing horizon raise
+    cfg.optim.lr_schedule = "step"
+    with pytest.raises(ValueError):
+        make_lr(cfg.optim)
+    cfg.optim.lr_schedule = "cosine"
+    cfg.optim.lr_decay_steps = 0
+    with pytest.raises(ValueError):
+        make_lr(cfg.optim)
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.optim.lr_schedule = "cosine"
+    cfg.optim.lr_warmup_steps = 5
+    cfg.optim.lr_decay_steps = 30
+    cfg.train.steps = 30
+    cfg.train.log_every = 5
+    _, history = fit(cfg)
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
 def test_device_resident_training_decreases_loss():
     """On-device batch gather path (HBM-resident dataset)."""
     from mmvae_tpu.train.loop import fit
