@@ -67,6 +67,40 @@ class TestResumeDataCursor:
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
             )
 
+    def test_resume_matches_uninterrupted_with_lr_schedule(self, tmp_path):
+        """A decaying LR schedule resumes at the right point on the curve:
+        the schedule count lives in opt_state (optax ScaleByScheduleState)
+        and must restore, not restart — a restart would replay the high
+        early LR and diverge from the uninterrupted run."""
+        from mmvae_tpu.train.loop import fit
+
+        def _sched(cfg):
+            cfg.optim.lr_schedule = "cosine"
+            cfg.optim.lr_warmup_steps = 1
+            cfg.optim.lr_decay_steps = 4  # pinned so both runs share the curve
+            cfg.optim.lr_end_ratio = 0.1
+            return cfg
+
+        cfg_a = _sched(_streaming(_tiny_config("mlp_vae")))
+        cfg_a.train.steps = 4
+        state_a, _ = fit(cfg_a)
+
+        cfg_b = _sched(_streaming(_tiny_config("mlp_vae")))
+        cfg_b.train.steps = 2
+        cfg_b.train.checkpoint_dir = str(tmp_path / "ck")
+        fit(cfg_b)
+        cfg_b.train.steps = 4
+        cfg_b.train.resume = True
+        state_b, _ = fit(cfg_b)
+
+        assert int(np.asarray(state_b.step)) == 4
+        for a, b in zip(
+            jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
     def test_async_save_then_immediate_restore(self, tmp_path):
         from mmvae_tpu.train import checkpoint as ckpt
         from mmvae_tpu.train.loop import build_model, _sample_shape
