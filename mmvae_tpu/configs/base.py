@@ -54,6 +54,7 @@ class OptimConfig:
     lr_decay_steps: int = 0             # decay horizon; 0 = train.steps
                                         # (resolved by get_config/fit)
     lr_end_ratio: float = 0.0           # final lr as a fraction of peak lr
+    weight_decay: float = 0.0           # decoupled (AdamW) weight decay; 0 = adam
 
 
 @dataclasses.dataclass

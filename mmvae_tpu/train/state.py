@@ -67,7 +67,16 @@ def make_lr(optim_cfg):
 
 
 def make_optimizer(optim_cfg) -> optax.GradientTransformation:
-    tx = optax.adam(make_lr(optim_cfg), b1=optim_cfg.b1, b2=optim_cfg.b2)
+    wd = getattr(optim_cfg, "weight_decay", 0.0)
+    if wd:
+        # Decoupled (AdamW) decay: applied to the update, not the gradient,
+        # so it composes with the LR schedule the standard way.
+        tx = optax.adamw(
+            make_lr(optim_cfg), b1=optim_cfg.b1, b2=optim_cfg.b2,
+            weight_decay=wd,
+        )
+    else:
+        tx = optax.adam(make_lr(optim_cfg), b1=optim_cfg.b1, b2=optim_cfg.b2)
     if optim_cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(optim_cfg.grad_clip), tx)
     return tx

@@ -140,6 +140,32 @@ def test_lr_schedule_values_and_training():
     assert losses[-1] < losses[0]
 
 
+def test_weight_decay_shrinks_params():
+    """optim.weight_decay > 0 switches to decoupled AdamW: with zero-ish
+    gradients the params must shrink toward 0; training still decreases
+    the loss."""
+    import jax.numpy as jnp
+    from mmvae_tpu.train.loop import fit
+    from mmvae_tpu.train.state import make_optimizer
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.optim.weight_decay = 0.1
+    tx = make_optimizer(cfg.optim)
+    p = {"w": jnp.ones((4,))}
+    opt = tx.init(p)
+    upd, _ = tx.update({"w": jnp.zeros((4,))}, opt, p)
+    # decoupled decay: update = -lr * wd * p even at zero gradient
+    assert float(upd["w"][0]) < 0.0
+
+    cfg.optim.weight_decay = 1e-4
+    cfg.train.steps = 30
+    cfg.train.log_every = 5
+    _, history = fit(cfg)
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
 def test_device_resident_training_decreases_loss():
     """On-device batch gather path (HBM-resident dataset)."""
     from mmvae_tpu.train.loop import fit
