@@ -25,6 +25,8 @@ import numpy as np
 # render recognizable digit sprites without the real MNIST archive.  Sprites are
 # upscaled to ~16x16 with smoothing, mimicking MNIST digit scale in the 64x64
 # canvas of the canonical dataset.
+_GEN_CHUNK = 10000  # clips per generation chunk; see generate_moving_mnist
+
 _DIGIT_FONT = np.array(
     [
         [0x3C, 0x66, 0x6E, 0x76, 0x66, 0x66, 0x3C, 0x00],  # 0
@@ -79,7 +81,28 @@ def generate_moving_mnist(
 
     Returns uint8 array of shape (num_sequences, seq_len, image_size, image_size)
     — batch-major, matching what the reference's Dataset yields post-transpose.
+
+    Datasets larger than `_GEN_CHUNK` clips are generated in chunks (the
+    compositing buffer is float32: 10k x 20-frame clips stage 3.3 GB, so an
+    unbounded 100k-clip request would stage 33 GB).  Chunk 0 uses `seed`
+    verbatim, so for any N <= _GEN_CHUNK the output is bit-identical to the
+    historical unchunked generator, and a larger dataset EXTENDS a smaller
+    one: the first 10k clips of the 50k-clip seed-0 dataset are exactly the
+    10k-clip seed-0 dataset (prefix-stable stream — goldens and the disk
+    cache for the contract datasets are unaffected).
     """
+    if num_sequences > _GEN_CHUNK:
+        parts = []
+        for c, start in enumerate(range(0, num_sequences, _GEN_CHUNK)):
+            n = min(_GEN_CHUNK, num_sequences - start)
+            parts.append(
+                generate_moving_mnist(
+                    n, seq_len=seq_len, image_size=image_size,
+                    num_digits=num_digits,
+                    seed=seed if c == 0 else seed + 15485863 * c,
+                )
+            )
+        return np.concatenate(parts, axis=0)
     rng = np.random.default_rng(seed)
     sprite_size = 16
     sprites = np.stack([_digit_sprite(d, sprite_size) for d in range(10)])

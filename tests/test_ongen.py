@@ -1,0 +1,97 @@
+"""On-device clip generator (data/ongen.py): invariants + host parity.
+
+The host generator is the oracle (same sprites, same dynamics process);
+RNGs differ, so parity is distributional + an exact check that the
+closed-form folded trajectory equals the host's step-wise reflection.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmvae_tpu.data import ongen
+from mmvae_tpu.data.loader import generate_moving_mnist
+
+
+def test_shapes_dtype_determinism():
+    key = jax.random.PRNGKey(7)
+    a = ongen.generate_clips(key, 4, seq_len=5)
+    assert a.shape == (4, 5, 64, 64) and a.dtype == jnp.uint8
+    b = ongen.generate_clips(key, 4, seq_len=5)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    c = ongen.generate_clips(jax.random.PRNGKey(8), 4, seq_len=5)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_jit_and_odd_geometry():
+    f = jax.jit(
+        lambda k: ongen.generate_clips(k, 3, seq_len=7, image_size=48,
+                                       num_digits=1)
+    )
+    out = np.asarray(f(jax.random.PRNGKey(0)))
+    assert out.shape == (3, 7, 48, 48)
+    assert out.max() > 0
+
+
+def test_closed_form_matches_stepwise_reflection():
+    """folded(p0 + v*t) == the host's per-step bounce integration, exactly
+    (up to float accumulation): the reflection off [0, lim] walls is a
+    triangular fold of the free trajectory."""
+    rng = np.random.default_rng(0)
+    lim = 48.0
+    p0 = rng.uniform(0, lim, size=(64,)).astype(np.float64)
+    v = rng.uniform(-4.5, 4.5, size=(64,)).astype(np.float64)
+    pos, vel = p0.copy(), v.copy()
+    host = [pos.copy()]
+    for _ in range(199):
+        pos = pos + vel
+        over, under = pos > lim, pos < 0
+        pos = np.where(over, 2 * lim - pos, pos)
+        pos = np.where(under, -pos, pos)
+        vel = np.where(over | under, -vel, vel)
+        host.append(pos.copy())
+    host = np.stack(host)  # (200, 64)
+    t = np.arange(200, dtype=np.float64)[:, None]
+    free = p0[None] + v[None] * t
+    folded = lim - np.abs(np.mod(free, 2 * lim) - lim)
+    np.testing.assert_allclose(folded, host, atol=1e-9)
+
+
+def test_sprites_never_leave_canvas():
+    """Every frame of a long clip keeps full sprite mass: a digit's pixels
+    sum to >= one sprite's mass minus overlap, and the border beyond the
+    reachable band is dark only if placement is in-range (no wrap/clip
+    artifacts -> per-frame mass is t-independent up to overlap)."""
+    clips = np.asarray(
+        ongen.generate_clips(jax.random.PRNGKey(3), 8, seq_len=100)
+    ).astype(np.float32)
+    mass = clips.sum(axis=(2, 3))  # (8, 100)
+    sprite_mass = 255.0 * float(ongen.sprite_table().sum(axis=(1, 2)).min())
+    assert (mass >= sprite_mass).all(), "a digit left the canvas / clipped"
+
+
+def test_distribution_matches_host_generator():
+    host = generate_moving_mnist(192, seq_len=10, seed=11).astype(np.float64)
+    dev = np.asarray(
+        ongen.generate_clips(jax.random.PRNGKey(11), 192, seq_len=10)
+    ).astype(np.float64)
+    # Same sprite set + uniform placement: global mean intensity within 5%.
+    assert abs(dev.mean() - host.mean()) / host.mean() < 0.05
+    # Placement marginal is uniform over the reachable band: compare the
+    # interior/exterior split of pixel mass (host vs device).
+    def band_ratio(x):
+        inner = x[..., 16:48, 16:48].mean()
+        return inner / x.mean()
+    assert abs(band_ratio(dev) - band_ratio(host)) < 0.15
+    assert dev.max() <= 255 and dev.min() == 0
+
+
+def test_clip_batch_fn_shapes():
+    gen = ongen.clip_batch_fn(6, (5, 64, 64))
+    out = gen(jax.random.PRNGKey(0))
+    assert out.shape == (6, 5, 64, 64) and out.dtype == jnp.uint8
+    genf = ongen.clip_batch_fn(6, (64, 64), per_frame=True)
+    outf = genf(jax.random.PRNGKey(0))
+    assert outf.shape == (6, 64, 64) and outf.dtype == jnp.uint8
+    assert np.asarray(outf).max() > 0
