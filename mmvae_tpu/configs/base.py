@@ -27,6 +27,12 @@ class DataConfig:
     # without replacement (reference/streaming semantics: an in-graph
     # per-epoch permutation, each row exactly once per epoch).
     resident_epochs: bool = False
+    # Generate fresh clips ON DEVICE inside the jitted step (data/ongen.py):
+    # no fixed train dataset, unlimited data, exact resume (step-counter RNG).
+    # Val stays the fixed held-out split for comparable curves.  Measured
+    # rationale in docs/RESULTS.md (the fixed 10k-clip split overfits by 20k
+    # steps; fresh data removes the train/val gap at its source).
+    on_device_generate: bool = False
     train_fraction: float = 0.9
     prefetch_depth: int = 2
     seed: int = 0

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 # Static stream ids (4 bits: up to 15 streams).
 STREAM_PREPROCESS = 1   # Bernoulli binarization noise
 STREAM_REPARAM = 2      # posterior sampling eps (salt = draw index)
+STREAM_ONGEN = 3        # on-device clip generation (data/ongen.py)
 
 _LOW_MASK = 0x07FFFFFF  # 27 bits of step-seed space per stream
 

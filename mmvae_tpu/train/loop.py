@@ -158,6 +158,9 @@ def make_train_step(
     kl_warmup_steps: int = 0,
     resident_epochs: bool = False,
     resident_seed: int = 0,
+    ongen_batch: Optional[int] = None,
+    ongen_shape: Optional[Tuple[int, ...]] = None,
+    ongen_num_digits: int = 2,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Metrics]]:
     """Build step(state, batch_u8_or_dataset) -> (state, metrics).
 
@@ -173,9 +176,25 @@ def make_train_step(
     streaming remains for datasets that don't fit.  `resident_shape` is the
     uint8 shape of ONE sample, e.g. (20, 64, 64) clips or (64, 64) frames
     (defaults from `per_frame`).
+
+    With `ongen_batch` set, the step GENERATES its batch in-graph
+    (data/ongen.py): fresh clips every step from the step-counter RNG — no
+    dataset at all, the second argument is an ignored placeholder.  Shards
+    generate disjoint clips (the shard index is folded into the seed), and
+    resume is exact (the stream is a pure function of the step counter).
     """
     if resident_batch is not None and resident_shape is None:
         resident_shape = (64, 64) if per_frame else (20, 64, 64)
+    gen_fn = None
+    if ongen_batch is not None:
+        from mmvae_tpu.data import ongen
+
+        gen_fn = ongen.clip_batch_fn(
+            ongen_batch,
+            ongen_shape or ((64, 64) if per_frame else (20, 64, 64)),
+            num_digits=ongen_num_digits,
+            per_frame=per_frame,
+        )
     loss_fn = make_loss_fn(
         model, binarize=binarize, use_pallas=use_pallas,
         resident_shape=resident_shape,
@@ -188,7 +207,13 @@ def make_train_step(
         if axis_name is not None:
             idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
             seed = seed + idx * jnp.int32(1000003)
-        if resident_batch is not None:
+        if gen_fn is not None:
+            from mmvae_tpu.ops.seeds import STREAM_ONGEN, stream_seed
+
+            batch_u8 = gen_fn(
+                jax.random.PRNGKey(stream_seed(seed, STREAM_ONGEN))
+            )
+        elif resident_batch is not None:
             if resident_epochs:
                 # Shuffled epochs without replacement (streaming semantics).
                 row_idx = resident_row_indices(
@@ -420,18 +445,22 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
     # and gather each batch on-device.  Moving MNIST (10k x 20 x 64 x 64 u8
     # = 0.8 GB) fits easily; steady-state host->device traffic drops to zero
     # (the streaming feed measured tunnel/PCIe-bound on this dev box).
+    ongen = bool(getattr(cfg.data, "on_device_generate", False))
     resident = cfg.data.device_resident
     if resident is None:
         resident = (
-            jax.default_backend() == "tpu"
+            not ongen
+            and jax.default_backend() == "tpu"
             and dataset.split_data.nbytes <= cfg.data.device_resident_max_bytes
         )
-    resident_batch = cfg.data.batch_size
-    if resident and use_dp:
-        resident_batch = cfg.data.batch_size // n_dev
-        assert resident_batch * n_dev == cfg.data.batch_size, (
-            "batch_size must divide the device count in resident DP mode"
+    resident = resident and not ongen
+    per_dev_batch = cfg.data.batch_size
+    if (resident or ongen) and use_dp:
+        per_dev_batch = cfg.data.batch_size // n_dev
+        assert per_dev_batch * n_dev == cfg.data.batch_size, (
+            "batch_size must divide the device count in resident/ongen DP mode"
         )
+    resident_batch = per_dev_batch
 
     sample_shape = (
         dataset.split_data.shape[2:]
@@ -448,13 +477,17 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         kl_warmup_steps=cfg.optim.kl_warmup_steps,
         resident_epochs=cfg.data.resident_epochs,
         resident_seed=cfg.data.seed,
+        ongen_batch=per_dev_batch if ongen else None,
+        ongen_shape=sample_shape if ongen else None,
+        ongen_num_digits=cfg.data.num_digits,
     )
     spc = max(int(cfg.train.steps_per_call), 1)
     if spc > 1:
-        if not resident:
+        if not (resident or ongen):
             raise ValueError(
-                "train.steps_per_call > 1 requires the device-resident data "
-                "path (streaming mode needs one host batch per step)"
+                "train.steps_per_call > 1 requires the device-resident or "
+                "on-device-generate data path (streaming mode needs one host "
+                "batch per step)"
             )
         cadences = {
             "train.steps": steps,
@@ -488,7 +521,18 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
         train_step = jax.jit(inner, donate_argnums=(0,))
         sharding = None
 
-    if resident:
+    if ongen:
+        # No dataset at all: the step generates clips in-graph.  The data
+        # argument is a placeholder kept only so the step/chunk/dp_step
+        # signatures (and their donation/sharding specs) stay uniform; one
+        # int32 per mesh slot.
+        data_dev = (
+            jax.device_put(np.zeros((n_dev,), np.int32), sharding)
+            if use_dp
+            else jnp.zeros((1,), jnp.int32)
+        )
+        host_iter = None
+    elif resident:
         # Per-process disjoint slice (C1), int32-packed one tile-aligned
         # (words/128, 128) plane per sample — u8 and flat-2-D row gathers are
         # 5-10x slower on TPU (see transforms.pack_resident).

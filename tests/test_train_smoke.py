@@ -166,6 +166,46 @@ def test_weight_decay_shrinks_params():
     assert losses[-1] < losses[0]
 
 
+def test_on_device_generate_training():
+    """data.on_device_generate: the step generates fresh clips in-graph —
+    no train dataset, loss decreases, eval (fixed val split) still runs,
+    and steps_per_call fusion composes with the generated stream."""
+    from mmvae_tpu.train.loop import fit
+
+    for name in ("seq_vae", "mlp_vae"):  # clip model + per-frame model
+        cfg = _tiny_config(name)
+        cfg.data.on_device_generate = True
+        cfg.train.steps = 30
+        cfg.train.log_every = 5
+        cfg.train.eval_every = 15
+        cfg.train.eval_batches = 1
+        state, history = fit(cfg)
+        losses = [h["loss"] for h in history]
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0], f"{name} ongen: {losses}"
+        assert any("val_loss" in h for h in history)
+
+
+def test_on_device_generate_dp_and_steps_per_call():
+    """ongen under shard_map DP (8 fake devices) + fused multi-step
+    dispatch: shards generate disjoint clips and training is finite and
+    decreasing."""
+    from mmvae_tpu.train.loop import fit
+
+    cfg = _tiny_config("seq_vae")
+    cfg.data.on_device_generate = True
+    cfg.train.data_parallel = True
+    cfg.data.batch_size = 8  # divides the 8 fake devices
+    cfg.train.steps = 30
+    cfg.train.log_every = 5
+    cfg.train.eval_every = 0
+    cfg.train.steps_per_call = 5
+    state, history = fit(cfg)
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"ongen dp: {losses}"
+
+
 def test_device_resident_training_decreases_loss():
     """On-device batch gather path (HBM-resident dataset)."""
     from mmvae_tpu.train.loop import fit
