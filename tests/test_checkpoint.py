@@ -101,6 +101,37 @@ class TestResumeDataCursor:
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
             )
 
+    def test_resume_matches_uninterrupted_ongen(self, tmp_path):
+        """on_device_generate resume is exact with NO data cursor at all:
+        the clip stream is a pure function of the step counter, so a run
+        restored at step K regenerates exactly the clips an uninterrupted
+        run would have drawn."""
+        from mmvae_tpu.train.loop import fit
+
+        def _ongen(cfg):
+            cfg.data.on_device_generate = True
+            return cfg
+
+        cfg_a = _ongen(_tiny_config("mlp_vae"))
+        cfg_a.train.steps = 4
+        state_a, _ = fit(cfg_a)
+
+        cfg_b = _ongen(_tiny_config("mlp_vae"))
+        cfg_b.train.steps = 2
+        cfg_b.train.checkpoint_dir = str(tmp_path / "ck")
+        fit(cfg_b)
+        cfg_b.train.steps = 4
+        cfg_b.train.resume = True
+        state_b, _ = fit(cfg_b)
+
+        assert int(np.asarray(state_b.step)) == 4
+        for a, b in zip(
+            jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
     def test_async_save_then_immediate_restore(self, tmp_path):
         from mmvae_tpu.train import checkpoint as ckpt
         from mmvae_tpu.train.loop import build_model, _sample_shape
