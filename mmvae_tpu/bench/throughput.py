@@ -69,13 +69,19 @@ def run_benchmark(
             f"batch_size {cfg.data.batch_size} must divide n_devices {n_dev}: "
             "the reported frames/step would overstate the judged metric"
         )
-    resident_batch = cfg.data.batch_size // (n_dev if use_dp else 1)
+    per_dev_batch = cfg.data.batch_size // (n_dev if use_dp else 1)
     sample_shape = shape[1:]
+    # With data.on_device_generate the bench measures THAT production path
+    # instead (clips generated in-graph; the data argument is a placeholder).
+    ongen = bool(getattr(cfg.data, "on_device_generate", False))
     step_kwargs = dict(
         binarize=cfg.data.binarize,
         use_pallas=cfg.train.use_pallas,
-        resident_batch=resident_batch,
-        resident_shape=sample_shape,
+        resident_batch=None if ongen else per_dev_batch,
+        resident_shape=None if ongen else sample_shape,
+        ongen_batch=per_dev_batch if ongen else None,
+        ongen_shape=sample_shape if ongen else None,
+        ongen_num_digits=cfg.data.num_digits,
         per_frame=cfg.data.per_frame,
     )
     # K-step dispatch chunking (train.steps_per_call): the production
@@ -103,26 +109,35 @@ def run_benchmark(
         step_fn = jax.jit(inner, donate_argnums=(0,))
         batch_sharding = None
 
-    # Resident dataset at the PRODUCTION size (the config's full train split,
-    # int32-packed like train.loop) so the measured step includes the honest
-    # on-device gather cost — a small synthetic pool understates it.
-    from mmvae_tpu.data import transforms
+    if ongen:
+        batch = np.zeros((n_dev if use_dp else 1,), np.int32)
+        batch = (
+            jax.device_put(batch, batch_sharding)
+            if batch_sharding is not None
+            else jax.device_put(batch)
+        )
+    else:
+        # Resident dataset at the PRODUCTION size (the config's full train
+        # split, int32-packed like train.loop) so the measured step includes
+        # the honest on-device gather cost — a small synthetic pool
+        # understates it.
+        from mmvae_tpu.data import transforms
 
-    n_clips = max(
-        int(cfg.data.num_sequences * cfg.data.train_fraction),
-        cfg.data.batch_size,
-    )
-    n_clips -= n_clips % n_dev
-    data_shape = (n_clips, max(cfg.data.seq_len, 1), 64, 64)
-    batch = transforms.pack_resident(
-        np.random.default_rng(0).integers(0, 256, data_shape, dtype=np.uint8),
-        per_frame=cfg.data.per_frame,
-    )
-    batch = (
-        jax.device_put(batch, batch_sharding)
-        if batch_sharding is not None
-        else jax.device_put(batch)
-    )
+        n_clips = max(
+            int(cfg.data.num_sequences * cfg.data.train_fraction),
+            cfg.data.batch_size,
+        )
+        n_clips -= n_clips % n_dev
+        data_shape = (n_clips, max(cfg.data.seq_len, 1), 64, 64)
+        batch = transforms.pack_resident(
+            np.random.default_rng(0).integers(0, 256, data_shape, dtype=np.uint8),
+            per_frame=cfg.data.per_frame,
+        )
+        batch = (
+            jax.device_put(batch, batch_sharding)
+            if batch_sharding is not None
+            else jax.device_put(batch)
+        )
 
     # FLOPs/step straight from the compiled executable (XLA's own count of
     # the full fwd+bwd+optimizer step) — the MFU numerator.

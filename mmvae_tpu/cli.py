@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     p_sample.add_argument("--mode", choices=["prior", "reconstruct", "rollout"], default="prior")
     p_sample.add_argument("--batch", type=int, default=8)
     p_sample.add_argument("--seed", type=int, default=0)
+    p_sample.add_argument(
+        "--ema", action="store_true",
+        help="use the checkpoint's EMA params (optim.ema_decay runs); on a "
+        "pre-EMA checkpoint this equals the raw params",
+    )
 
     p_eval = sub.add_parser(
         "eval", help="held-out-split ELBO from a checkpoint (one JSON line)"
@@ -51,6 +56,10 @@ def main(argv=None) -> int:
         help="max val batches (default: the whole split once)",
     )
     p_eval.add_argument("--seed", type=int, default=1)
+    p_eval.add_argument(
+        "--ema", action="store_true",
+        help="score the checkpoint's EMA params instead of the live ones",
+    )
 
     p_bench = sub.add_parser("bench", help="measure training frames/sec")
     _add_common(p_bench)
@@ -62,6 +71,27 @@ def main(argv=None) -> int:
     )
 
     args = parser.parse_args(argv)
+
+    # Persistent XLA compilation cache: the fully-unrolled seq/hier train
+    # graphs cost minutes of cold compile per PROCESS without it (JAX's
+    # in-memory cache dies with the process).  Honors an explicit
+    # JAX_COMPILATION_CACHE_DIR; set MMVAE_NO_COMPILE_CACHE=1 to disable.
+    import os
+
+    if not os.environ.get("MMVAE_NO_COMPILE_CACHE"):
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/mmvae_tpu/xla_cache"),
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # Cache every compile that takes >=1s regardless of entry size.
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:
+            pass  # cache is best-effort (read-only home, old jax)
 
     from mmvae_tpu.configs import get_config
 
@@ -83,7 +113,8 @@ def main(argv=None) -> int:
 
         try:
             result = evaluate(
-                cfg, args.ckpt, max_batches=args.batches, seed=args.seed
+                cfg, args.ckpt, max_batches=args.batches, seed=args.seed,
+                use_ema=args.ema,
             )
         except FileNotFoundError as e:
             # A typo'd --ckpt must fail loudly, not score init params and
@@ -117,6 +148,10 @@ def _sample(cfg, args) -> int:
     from mmvae_tpu.train.state import create_train_state
 
     model = build_model(cfg)
+    if getattr(args, "ema", False) and not cfg.optim.ema_decay:
+        # The restore template must carry an ema_params subtree to pull the
+        # EMA out of the checkpoint; the decay value itself is unused here.
+        cfg.optim.ema_decay = 0.999
     template = create_train_state(
         model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
     )
@@ -124,6 +159,8 @@ def _sample(cfg, args) -> int:
     if step == 0:
         print(f"warning: no checkpoint found in {args.ckpt}; using init params",
               file=sys.stderr)
+    if getattr(args, "ema", False) and state.ema_params is not None:
+        state = state.replace(params=state.ema_params)
     rng = jax.random.PRNGKey(args.seed)
 
     if args.mode == "prior":

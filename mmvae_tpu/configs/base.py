@@ -61,6 +61,8 @@ class OptimConfig:
                                         # (resolved by get_config/fit)
     lr_end_ratio: float = 0.0           # final lr as a fraction of peak lr
     weight_decay: float = 0.0           # decoupled (AdamW) weight decay; 0 = adam
+    ema_decay: float = 0.0              # param EMA for eval (0 = off);
+                                        # val_*_ema metrics report its quality
 
 
 @dataclasses.dataclass

@@ -62,12 +62,17 @@ def latest_step(directory: str):
 
 
 def _dynamic(state: TrainState, data_step: int = 0):
-    return {
+    d = {
         "step": state.step,
         "params": state.params,
         "opt_state": state.opt_state,
         "data_step": jnp.asarray(data_step, jnp.int32),
     }
+    # Present only when EMA is enabled, so EMA-free checkpoints keep the
+    # historical tree exactly.
+    if state.ema_params is not None:
+        d["ema_params"] = state.ema_params
+    return d
 
 
 def save(
@@ -116,9 +121,32 @@ def restore_latest(directory: str, template: TrainState) -> Tuple[TrainState, in
     if latest is None:
         return template, 0, 0
     try:
-        restored = mngr.restore(
-            latest, args=ocp.args.StandardRestore(_dynamic(template))
-        )
+        try:
+            restored = mngr.restore(
+                latest, args=ocp.args.StandardRestore(_dynamic(template))
+            )
+        except Exception:
+            if template.ema_params is not None:
+                # EMA newly enabled on a pre-EMA checkpoint: restore the
+                # legacy tree and START the average at the restored params.
+                legacy = template.replace(ema_params=None)
+                restored = mngr.restore(
+                    latest, args=ocp.args.StandardRestore(_dynamic(legacy))
+                )
+                restored["ema_params"] = jax.tree.map(
+                    jnp.copy, restored["params"]
+                )
+            else:
+                # Converse: the checkpoint CARRIES an EMA the template
+                # doesn't ask for (eval/resume with ema_decay unset).
+                # Restore with a widened template and drop the subtree.
+                widened = template.replace(
+                    ema_params=jax.tree.map(jnp.copy, template.params)
+                )
+                restored = mngr.restore(
+                    latest, args=ocp.args.StandardRestore(_dynamic(widened))
+                )
+                restored.pop("ema_params", None)
     except Exception as e:
         # Migration hint: round 3 restructured the "fast" decoder layout (the
         # 3x3 mixing conv moved after the first upsample); checkpoints trained
@@ -135,6 +163,7 @@ def restore_latest(directory: str, template: TrainState) -> Tuple[TrainState, in
         step=restored["step"],
         params=restored["params"],
         opt_state=restored["opt_state"],
+        ema_params=restored.get("ema_params", template.ema_params),
     )
     return (
         state,

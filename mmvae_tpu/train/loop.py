@@ -324,7 +324,7 @@ def _sample_shape(cfg) -> tuple:
 
 def evaluate(
     cfg, ckpt_dir: Optional[str] = None, *, params=None,
-    max_batches: Optional[int] = None, seed: int = 1,
+    max_batches: Optional[int] = None, seed: int = 1, use_ema: bool = False,
 ) -> dict:
     """Standalone eval pass: val-split ELBO/BCE/KL from a checkpoint.
 
@@ -338,9 +338,11 @@ def evaluate(
     `mmvae eval` at step N reproduces the in-training val metric at N when
     the batch size matches.  Raises FileNotFoundError when `ckpt_dir` holds
     no checkpoint — scoring init params silently is a scripting hazard; pass
-    `params=` to eval unrestored weights deliberately.  Returns {"step",
-    "batches", "samples", "val_loss", "val_bce", "val_kl"} — sum-per-sample,
-    same convention as the training metrics.
+    `params=` to eval unrestored weights deliberately.  `use_ema` scores the
+    checkpoint's EMA params instead (`mmvae eval --ema`); on a pre-EMA
+    checkpoint that equals the raw params (the restore seeds the average at
+    them).  Returns {"step", "batches", "samples", "val_loss", "val_bce",
+    "val_kl"} — sum-per-sample, same convention as the training metrics.
     """
     model = build_model(cfg)
     if params is None:
@@ -348,11 +350,15 @@ def evaluate(
             raise ValueError("evaluate() needs ckpt_dir or params")
         if ckpt.latest_step(ckpt_dir) is None:
             raise FileNotFoundError(f"no checkpoint found in {ckpt_dir!r}")
+        if use_ema and not cfg.optim.ema_decay:
+            # Template needs the ema_params subtree to pull the EMA out of
+            # the checkpoint; the decay value itself is unused here.
+            cfg.optim.ema_decay = 0.999
         template = create_train_state(
             model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
         )
         state, step, _ = ckpt.restore_latest(ckpt_dir, template)
-        params = state.params
+        params = state.ema_params if use_ema else state.params
     else:
         step = -1
 
@@ -749,6 +755,13 @@ def fit(cfg, *, max_steps: Optional[int] = None) -> Tuple[TrainState, list]:
                 pending = (end, metrics)  # fetch next interval (no sync stall)
             if cfg.train.eval_every and end % cfg.train.eval_every == 0:
                 val_metrics = run_eval(state.params)
+                if state.ema_params is not None:
+                    # Same val batches + seeds: the _ema columns differ from
+                    # the raw ones only by the params under evaluation.
+                    val_metrics.update({
+                        f"{k}_ema": v
+                        for k, v in run_eval(state.ema_params).items()
+                    })
             if (
                 cfg.train.checkpoint_dir
                 and end % cfg.train.checkpoint_every == 0

@@ -54,7 +54,7 @@ class MetricsLogger:
         vals["step"] = step
 
         parts = [f"step {step:>7d}"]
-        for k in ("loss", "bce", "kl", "val_loss"):
+        for k in ("loss", "bce", "kl", "val_loss", "val_loss_ema"):
             if k in vals:
                 parts.append(f"{k} {vals[k]:.2f}")
         if "frames_per_sec" in vals:
@@ -80,6 +80,7 @@ class MetricsLogger:
                     fieldnames=[
                         "step", "loss", "bce", "kl",
                         "val_loss", "val_bce", "val_kl",
+                        "val_loss_ema", "val_bce_ema", "val_kl_ema",
                         "steps_per_sec", "frames_per_sec",
                     ],
                     extrasaction="ignore",

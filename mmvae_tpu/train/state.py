@@ -20,13 +20,24 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # Exponential moving average of params (optim.ema_decay > 0); None keeps
+    # the pytree identical to pre-EMA checkpoints.  The EMA is EVALUATED
+    # against (val_*_ema metrics) but never trained on.
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        ema = self.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, new_params)
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt,
+            ema_params=ema,
         )
 
 
@@ -93,10 +104,15 @@ def create_train_state(model, optim_cfg, rng, sample_shape) -> TrainState:
 
     params = model.init(rng, dummy, init_sample_fn)
     tx = make_optimizer(optim_cfg)
+    ema_decay = float(getattr(optim_cfg, "ema_decay", 0.0))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         tx=tx,
         apply_fn=model.apply,
+        # jnp.copy, not identity: aliasing params' buffers would make the
+        # jitted step donate each buffer twice (donate_argnums on the state).
+        ema_params=jax.tree.map(jnp.copy, params) if ema_decay > 0 else None,
+        ema_decay=ema_decay,
     )

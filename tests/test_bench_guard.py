@@ -18,6 +18,29 @@ import jax
 HISTORY = pathlib.Path(__file__).parent.parent / "bench_history.json"
 
 
+def test_bench_runs_ongen_path():
+    """`mmvae bench` with data.on_device_generate=true measures the in-graph
+    generation path (placeholder data, no resident pool) — CPU-sized smoke
+    that the bench builds/compiles/executes that step."""
+    from mmvae_tpu.bench.throughput import run_benchmark
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config(
+        "seq_vae",
+        (
+            "data.batch_size=4", "data.seq_len=4", "data.num_sequences=8",
+            "model.kwargs.latent_dim=8", "model.dtype=float32",
+            "data.on_device_generate=true", "train.data_parallel=false",
+        ),
+    )
+    cfg.model.kwargs.update({"enc_channels": (4, 8), "lstm_features": 8})
+    result = run_benchmark(cfg, steps=2, warmup=1)
+    assert result["value"] > 0
+    import numpy as np
+
+    assert np.isfinite(result["final_loss"])
+
+
 @pytest.mark.skipif(
     jax.default_backend() not in ("tpu", "axon"),
     reason="throughput guard needs real TPU hardware",

@@ -166,6 +166,71 @@ def test_weight_decay_shrinks_params():
     assert losses[-1] < losses[0]
 
 
+def test_ema_params_tracked_and_evaluated(tmp_path):
+    """optim.ema_decay > 0: the state carries an EMA of params (a trailing
+    average — after a step it must differ from both init and the live
+    params), the training eval reports val_*_ema columns, and the EMA
+    round-trips through a checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    from mmvae_tpu.train.loop import fit
+
+    cfg = _tiny_config("mlp_vae")
+    cfg.optim.ema_decay = 0.9
+    cfg.train.steps = 20
+    cfg.train.log_every = 5
+    cfg.train.eval_every = 10
+    cfg.train.eval_batches = 1
+    cfg.train.checkpoint_dir = str(tmp_path / "ck")
+    state, history = fit(cfg)
+
+    assert state.ema_params is not None
+    leaves = jax.tree.leaves(state.params)
+    ema_leaves = jax.tree.leaves(state.ema_params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves, ema_leaves)
+    ), "EMA should trail the live params"
+    assert any("val_loss_ema" in h for h in history)
+
+    # Round-trip: restore pulls the EMA back.
+    from mmvae_tpu.train import checkpoint as ckpt
+    from mmvae_tpu.train.loop import build_model, _sample_shape
+    from mmvae_tpu.train.state import create_train_state
+
+    fresh = create_train_state(
+        build_model(cfg), cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+    )
+    restored, step, _ = ckpt.restore_latest(cfg.train.checkpoint_dir, fresh)
+    assert step == 20
+    for a, b in zip(
+        jax.tree.leaves(restored.ema_params), jax.tree.leaves(state.ema_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # ema_decay=0 keeps the pytree EMA-free (old-checkpoint compatible).
+    cfg2 = _tiny_config("mlp_vae")
+    state2 = create_train_state(
+        build_model(cfg2), cfg2.optim, jax.random.PRNGKey(0),
+        _sample_shape(cfg2),
+    )
+    assert state2.ema_params is None
+
+    # Standalone eval of the EMA params (the `mmvae eval --ema` path) —
+    # works even when the eval config doesn't set ema_decay, and scores
+    # different params than the raw eval.
+    from mmvae_tpu.train.loop import evaluate
+
+    cfg_eval = _tiny_config("mlp_vae")
+    cfg_eval.train.eval_batches = 1
+    raw = evaluate(cfg_eval, cfg.train.checkpoint_dir, max_batches=1)
+    ema = evaluate(
+        cfg_eval, cfg.train.checkpoint_dir, max_batches=1, use_ema=True
+    )
+    assert np.isfinite(raw["val_loss"]) and np.isfinite(ema["val_loss"])
+    assert raw["val_loss"] != ema["val_loss"]
+
+
 def test_on_device_generate_training():
     """data.on_device_generate: the step generates fresh clips in-graph —
     no train dataset, loss decreases, eval (fixed val split) still runs,
