@@ -11,7 +11,21 @@ DP tests then skip if fewer than 2 devices).
 
 import os
 
-if not os.environ.get("MMVAE_TEST_TPU"):
+if os.environ.get("MMVAE_TEST_TPU"):
+    # On-chip suite: persistent XLA compile cache (same location as the CLI,
+    # mmvae_tpu/cli.py) — the suite's dozens of small train-step compiles
+    # dominate its wall time on the tunneled dev chip; a warm cache cuts
+    # repeat runs dramatically.
+    _cache = os.path.expanduser("~/.cache/mmvae_tpu/xla_cache")
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+else:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
