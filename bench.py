@@ -12,6 +12,11 @@ import sys
 def main() -> int:
     from mmvae_tpu.configs import get_config
     from mmvae_tpu.bench.throughput import run_benchmark
+    from mmvae_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    # On a fresh machine the unrolled train-graph compile alone has been
+    # observed at >15 min through the device tunnel; persist it across runs.
+    enable_persistent_compile_cache()
 
     cfg = get_config("seq_vae")
     result = run_benchmark(cfg, steps=100, warmup=10)

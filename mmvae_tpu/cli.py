@@ -74,24 +74,10 @@ def main(argv=None) -> int:
 
     # Persistent XLA compilation cache: the fully-unrolled seq/hier train
     # graphs cost minutes of cold compile per PROCESS without it (JAX's
-    # in-memory cache dies with the process).  Honors an explicit
-    # JAX_COMPILATION_CACHE_DIR; set MMVAE_NO_COMPILE_CACHE=1 to disable.
-    import os
+    # in-memory cache dies with the process).
+    from mmvae_tpu.utils.compile_cache import enable_persistent_compile_cache
 
-    if not os.environ.get("MMVAE_NO_COMPILE_CACHE"):
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.expanduser("~/.cache/mmvae_tpu/xla_cache"),
-        )
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            import jax
-
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            # Cache every compile that takes >=1s regardless of entry size.
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        except Exception:
-            pass  # cache is best-effort (read-only home, old jax)
+    enable_persistent_compile_cache()
 
     from mmvae_tpu.configs import get_config
 
