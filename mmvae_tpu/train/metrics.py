@@ -30,6 +30,14 @@ class MetricsLogger:
         self._csv_file = None
         self._csv_writer = None
         self._frames_per_step = frames_per_step
+        if print_fn is print:
+            # Long runs are routinely monitored through a pipe/file, where
+            # stdout is block-buffered and step lines can lag by thousands
+            # of steps; one flush per log line is negligible at log_every
+            # cadence.
+            def print_fn(*a, **k):
+                print(*a, **k, flush=True)
+
         self._print = print_fn
         self._last_time = time.perf_counter()
         self._last_step = None
