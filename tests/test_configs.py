@@ -74,3 +74,35 @@ class TestOverrides:
     def test_bool_garbage_raises(self):
         with pytest.raises(ValueError):
             get_config("mlp_vae", ("train.resume=maybe",))
+
+
+class TestCompileCache:
+    """utils/compile_cache.py — shared by the CLI, bench.py, __graft_entry__."""
+
+    def test_respects_disable_env(self, monkeypatch, tmp_path):
+        import jax
+
+        from mmvae_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        monkeypatch.setenv("MMVAE_NO_COMPILE_CACHE", "1")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "never"))
+        enable_persistent_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == before
+        assert not (tmp_path / "never").exists()
+
+    def test_points_jax_at_env_dir(self, monkeypatch, tmp_path):
+        import jax
+
+        from mmvae_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        target = tmp_path / "xla"
+        monkeypatch.delenv("MMVAE_NO_COMPILE_CACHE", raising=False)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(target))
+        try:
+            enable_persistent_compile_cache()
+            assert jax.config.jax_compilation_cache_dir == str(target)
+            assert target.is_dir()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
