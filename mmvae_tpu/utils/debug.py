@@ -46,6 +46,17 @@ def install_sigterm_checkpoint(save_fn: Callable[[], None]) -> None:
             state["done"] = True
             try:
                 save_fn()
+            except BaseException:
+                # The process dies on the re-raise below either way; without
+                # this, a failed forced save is indistinguishable from a
+                # successful one (observed as a missing final checkpoint with
+                # zero diagnostics).
+                import sys
+                import traceback
+
+                print("sigterm checkpoint failed:", file=sys.stderr)
+                traceback.print_exc()
+                sys.stderr.flush()
             finally:
                 signal.signal(signal.SIGTERM, signal.SIG_DFL)
                 signal.raise_signal(signal.SIGTERM)
