@@ -30,15 +30,15 @@ class MetricsLogger:
         self._csv_file = None
         self._csv_writer = None
         self._frames_per_step = frames_per_step
-        if print_fn is print:
-            # Long runs are routinely monitored through a pipe/file, where
-            # stdout is block-buffered and step lines can lag by thousands
-            # of steps; one flush per log line is negligible at log_every
-            # cadence.
-            def print_fn(*a, **k):
-                print(*a, **k, flush=True)
+        # Long runs are routinely monitored through a pipe/file, where stdout
+        # is block-buffered and step lines can lag by thousands of steps; one
+        # flush per log line is negligible at log_every cadence.  Only the
+        # exact builtin default is upgraded — a caller-supplied wrapper owns
+        # its own buffering policy.
+        def _flush_print(*a, **k):
+            print(*a, **k, flush=True)
 
-        self._print = print_fn
+        self._print = _flush_print if print_fn is print else print_fn
         self._last_time = time.perf_counter()
         self._last_step = None
         self._tb = None

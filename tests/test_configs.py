@@ -97,6 +97,7 @@ class TestCompileCache:
         from mmvae_tpu.utils.compile_cache import enable_persistent_compile_cache
 
         before = jax.config.jax_compilation_cache_dir
+        before_min = jax.config.jax_persistent_cache_min_entry_size_bytes
         target = tmp_path / "xla"
         monkeypatch.delenv("MMVAE_NO_COMPILE_CACHE", raising=False)
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(target))
@@ -105,4 +106,9 @@ class TestCompileCache:
             assert jax.config.jax_compilation_cache_dir == str(target)
             assert target.is_dir()
         finally:
+            # Restore BOTH knobs the helper sets; leaving the min-entry-size
+            # at -1 would leak config into the rest of the test session.
             jax.config.update("jax_compilation_cache_dir", before)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", before_min
+            )
