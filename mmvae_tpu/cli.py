@@ -45,6 +45,11 @@ def main(argv=None) -> int:
         help="use the checkpoint's EMA params (optim.ema_decay runs); on a "
         "pre-EMA checkpoint this equals the raw params",
     )
+    p_sample.add_argument(
+        "--allow-init", action="store_true",
+        help="sample from INIT params when --ckpt holds no checkpoint "
+        "(default: a missing/typo'd checkpoint is an error, exit 2)",
+    )
 
     p_eval = sub.add_parser(
         "eval", help="held-out-split ELBO from a checkpoint (one JSON line)"
@@ -123,6 +128,8 @@ def main(argv=None) -> int:
 
 
 def _sample(cfg, args) -> int:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -133,13 +140,26 @@ def _sample(cfg, args) -> int:
     from mmvae_tpu.train.loop import build_model, _sample_shape
     from mmvae_tpu.train.state import create_train_state
 
+    if ckpt.latest_step(args.ckpt) is None and not args.allow_init:
+        # Mirror of the eval fix: a typo'd --ckpt must fail loudly, not emit
+        # a plausible-looking sample grid from init params with exit 0
+        # (scripted use would trust the file).  --allow-init opts back in.
+        print(
+            f"error: no checkpoint found in {args.ckpt!r} "
+            "(pass --allow-init to sample from init params deliberately)",
+            file=sys.stderr,
+        )
+        return 2
     model = build_model(cfg)
-    if getattr(args, "ema", False) and not cfg.optim.ema_decay:
+    optim_cfg = cfg.optim
+    if getattr(args, "ema", False) and not optim_cfg.ema_decay:
         # The restore template must carry an ema_params subtree to pull the
         # EMA out of the checkpoint; the decay value itself is unused here.
-        cfg.optim.ema_decay = 0.999
+        # A local copy, NOT a cfg mutation: the caller's config must stay
+        # bit-identical (a later fit(cfg) in-process must not inherit EMA).
+        optim_cfg = dataclasses.replace(optim_cfg, ema_decay=0.999)
     template = create_train_state(
-        model, cfg.optim, jax.random.PRNGKey(0), _sample_shape(cfg)
+        model, optim_cfg, jax.random.PRNGKey(0), _sample_shape(cfg)
     )
     state, step, _data_step = ckpt.restore_latest(args.ckpt, template)
     if step == 0:

@@ -133,6 +133,68 @@ class TestGenerate:
         assert cli.main(argv) == 0
         assert gif.exists()
 
+    def test_cli_sample_missing_checkpoint_fails_loudly(self, tmp_path, capsys):
+        """A typo'd --ckpt must exit 2 with an error on stderr, NOT write a
+        plausible sample grid from init params with exit 0 (the eval fix's
+        mirror, VERDICT r3 weak-2).  --allow-init opts back into init-param
+        sampling deliberately."""
+        from mmvae_tpu import cli
+
+        overrides = [
+            "model.kwargs.latent_dim=8", "model.kwargs.hidden_dim=32",
+            "data.batch_size=32", "data.num_sequences=32",
+            "train.data_parallel=false", "model.dtype=float32",
+        ]
+        out = tmp_path / "never.png"
+        argv = ["sample", "--config", "mlp_vae", "--ckpt",
+                str(tmp_path / "nonexistent"), "--out", str(out), "--batch", "2"]
+        for ov in overrides:
+            argv += ["--set", ov]
+        assert cli.main(argv) == 2
+        captured = capsys.readouterr()
+        assert "error" in captured.err and "no checkpoint" in captured.err
+        assert not out.exists()
+        # The typo'd directory must not be materialized as a side effect.
+        assert not (tmp_path / "nonexistent").exists()
+
+        # Explicit escape hatch: init-param sampling on request.
+        assert cli.main(argv + ["--allow-init"]) == 0
+        assert out.exists()
+
+    def test_eval_and_sample_ema_do_not_mutate_config(self, tmp_path):
+        """--ema on an EMA-less config must not leave optim.ema_decay set on
+        the caller's config (VERDICT r3 weak-3): a later fit(cfg) in the same
+        process would silently train with EMA enabled."""
+        import copy
+
+        from mmvae_tpu import cli
+        from mmvae_tpu.configs import get_config
+        from mmvae_tpu.train.loop import evaluate, fit
+
+        overrides = [
+            "model.kwargs.latent_dim=8", "model.kwargs.hidden_dim=32",
+            "data.batch_size=32", "data.num_sequences=32",
+            "train.data_parallel=false", "model.dtype=float32",
+        ]
+        cfg = get_config("mlp_vae", tuple(overrides))
+        cfg.train.steps = 5
+        cfg.train.checkpoint_every = 5
+        cfg.train.checkpoint_dir = str(tmp_path / "ck")
+        fit(cfg)
+        assert cfg.optim.ema_decay == 0.0
+
+        before = copy.deepcopy(cfg)
+        result = evaluate(cfg, cfg.train.checkpoint_dir, use_ema=True)
+        assert np.isfinite(result["val_loss"])
+        assert cfg == before, "evaluate(use_ema=True) mutated the config"
+
+        argv = ["sample", "--config", "mlp_vae", "--ckpt",
+                cfg.train.checkpoint_dir, "--ema",
+                "--out", str(tmp_path / "ema.png"), "--batch", "2"]
+        for ov in overrides:
+            argv += ["--set", ov]
+        assert cli.main(argv) == 0  # pre-EMA checkpoint: EMA == raw params
+
     def test_cli_unknown_config_message(self):
         from mmvae_tpu.configs import get_config
 
