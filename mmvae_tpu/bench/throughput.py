@@ -74,6 +74,11 @@ def run_benchmark(
     # With data.on_device_generate the bench measures THAT production path
     # instead (clips generated in-graph; the data argument is a placeholder).
     ongen = bool(getattr(cfg.data, "on_device_generate", False))
+    sprite_bank = None
+    if ongen and getattr(cfg.data, "sprite_bank", None):
+        from mmvae_tpu.data.loader import load_sprite_bank
+
+        sprite_bank = load_sprite_bank(cfg.data.sprite_bank)
     step_kwargs = dict(
         binarize=cfg.data.binarize,
         use_pallas=cfg.train.use_pallas,
@@ -82,6 +87,7 @@ def run_benchmark(
         ongen_batch=per_dev_batch if ongen else None,
         ongen_shape=sample_shape if ongen else None,
         ongen_num_digits=cfg.data.num_digits,
+        ongen_sprites=sprite_bank,
         per_frame=cfg.data.per_frame,
     )
     # K-step dispatch chunking (train.steps_per_call): the production
@@ -183,6 +189,13 @@ def run_benchmark(
     frames_per_step = shape[0] if cfg.data.per_frame else shape[0] * shape[1]
     fps = frames_per_step * steps / dt
     fps_chip = fps / n_dev
+    # Spread across the three windows (VERDICT r3 weak-1): a single point
+    # value cannot distinguish a 2% claim from the machine's documented
+    # ±1.5-2% run-to-run band; min/median/max make the band explicit in
+    # every bench JSON, so the guard and the ledger can quote median±spread.
+    fps_all = sorted(
+        frames_per_step * steps / w / n_dev for w in windows
+    )
 
     mfu = tflops_sec = None
     peak = _peak_tflops(jax.devices()[0].device_kind)
@@ -201,6 +214,12 @@ def run_benchmark(
         "batch_frames": frames_per_step,
         "steps": steps,
         "wall_sec": round(dt, 3),
+        "windows_sec": [round(w, 3) for w in windows],
+        "value_min": round(fps_all[0], 1),
+        "value_max": round(fps_all[-1], 1),
+        "spread_pct": round(
+            100.0 * (fps_all[-1] - fps_all[0]) / fps_chip, 2
+        ),
         "n_devices": n_dev,
         "device": jax.devices()[0].device_kind,
         "final_loss": _fetch_loss(metrics),

@@ -33,6 +33,12 @@ class DataConfig:
     # rationale in docs/RESULTS.md (the fixed 10k-clip split overfits by 20k
     # steps; fresh data removes the train/val gap at its source).
     on_device_generate: bool = False
+    # Path to a (K, S, S) .npy sprite bank (loader.load_sprite_bank): both
+    # the host generator and the on-device generator composite from it, with
+    # uniform identity sampling over K.  None = the built-in 10-glyph font.
+    # The hook for training on REAL digit crops when a digit source exists
+    # (the canonical val file is real MNIST; the font can never match it).
+    sprite_bank: Optional[str] = None
     train_fraction: float = 0.9
     prefetch_depth: int = 2
     seed: int = 0

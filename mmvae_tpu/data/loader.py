@@ -66,12 +66,45 @@ def _digit_sprite(digit: int, size: int = 16) -> np.ndarray:
     return np.clip(img * 1.5, 0.0, 1.0)
 
 
+def load_sprite_bank(path: str) -> np.ndarray:
+    """Load a (K, S, S) sprite bank from an .npy file -> float32 in [0, 1].
+
+    The hook that makes ongen/procedural training contract-relevant the day a
+    real digit source exists (VERDICT r3 missing-1): uint8 banks are scaled
+    by 1/255, float banks are clipped to [0, 1].  Any K >= 1 and square S
+    work; identity sampling is uniform over K on both the host and the
+    on-device generator.
+    """
+    bank = np.load(path)
+    if bank.ndim != 3 or bank.shape[1] != bank.shape[2]:
+        raise ValueError(
+            f"sprite bank must be (K, S, S) with square sprites; got "
+            f"{bank.shape} from {path!r}"
+        )
+    if bank.dtype == np.uint8:
+        bank = bank.astype(np.float32) / 255.0
+    return np.clip(bank.astype(np.float32), 0.0, 1.0)
+
+
+def _sprite_bank_tag(sprites: Optional[np.ndarray]) -> str:
+    """Short content digest of a custom bank (disk-cache key component)."""
+    if sprites is None:
+        return ""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(sprites, np.float32).tobytes())
+    h.update(str(sprites.shape).encode())
+    return "_b" + h.hexdigest()[:10]
+
+
 def generate_moving_mnist(
     num_sequences: int,
     seq_len: int = 20,
     image_size: int = 64,
     num_digits: int = 2,
     seed: int = 0,
+    sprites: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Procedural Moving MNIST: bouncing digit sprites.
 
@@ -90,6 +123,10 @@ def generate_moving_mnist(
     one: the first 10k clips of the 50k-clip seed-0 dataset are exactly the
     10k-clip seed-0 dataset (prefix-stable stream — goldens and the disk
     cache for the contract datasets are unaffected).
+
+    `sprites` optionally injects a custom (K, S, S) float [0, 1] bank (see
+    `load_sprite_bank`); identity sampling becomes U{0..K-1}.  Default: the
+    10-glyph font table (bit-identical to the historical generator).
     """
     if num_sequences > _GEN_CHUNK:
         parts = []
@@ -100,16 +137,21 @@ def generate_moving_mnist(
                     n, seq_len=seq_len, image_size=image_size,
                     num_digits=num_digits,
                     seed=seed if c == 0 else seed + 15485863 * c,
+                    sprites=sprites,
                 )
             )
         return np.concatenate(parts, axis=0)
     rng = np.random.default_rng(seed)
-    sprite_size = 16
-    sprites = np.stack([_digit_sprite(d, sprite_size) for d in range(10)])
+    if sprites is None:
+        sprite_size = 16
+        sprites = np.stack([_digit_sprite(d, sprite_size) for d in range(10)])
+    else:
+        sprites = np.asarray(sprites, np.float32)
+        sprite_size = sprites.shape[-1]
     lim = image_size - sprite_size
 
     out = np.zeros((num_sequences, seq_len, image_size, image_size), np.float32)
-    digits = rng.integers(0, 10, size=(num_sequences, num_digits))
+    digits = rng.integers(0, sprites.shape[0], size=(num_sequences, num_digits))
     pos = rng.uniform(0, lim, size=(num_sequences, num_digits, 2)).astype(np.float32)
     theta = rng.uniform(0, 2 * np.pi, size=(num_sequences, num_digits))
     speed = rng.uniform(2.0, 4.5, size=(num_sequences, num_digits))
@@ -156,6 +198,11 @@ class MovingMNIST:
     train_fraction: float = 0.9
     process_index: int = 0
     process_count: int = 1
+    # Provenance: "canonical" (loaded from mnist_test_seq.npy), "procedural"
+    # (generated), or "array" (constructed directly, e.g. test fixtures).
+    # fit() uses this to guard the ongen-trains-on-sprites / val-is-real-MNIST
+    # distribution mismatch (VERDICT r3 missing-1).
+    source: str = "array"
 
     def __post_init__(self):
         assert self.data.dtype == np.uint8 and self.data.ndim == 4
@@ -171,6 +218,7 @@ class MovingMNIST:
         arr = np.load(path, mmap_mode="r")
         if arr.shape[0] == 20 and arr.shape[1] != 20:  # time-major canonical file
             arr = np.ascontiguousarray(np.transpose(arr, (1, 0, 2, 3)))
+        kw.setdefault("source", "canonical")
         return cls(data=np.asarray(arr, dtype=np.uint8), **kw)
 
     def __len__(self) -> int:
@@ -263,9 +311,15 @@ def load_or_generate(
     seq_len: int = 20,
     num_digits: int = 2,
     seed: int = 0,
+    sprites: Optional[np.ndarray] = None,
     **kw,
 ) -> MovingMNIST:
-    """Canonical file if available (and seq_len matches), else procedural data."""
+    """Canonical file if available (and seq_len matches), else procedural data.
+
+    `sprites` applies only to the procedural branch (custom sprite bank, see
+    `load_sprite_bank`); the returned dataset's `.source` says which branch
+    was taken ("canonical" vs "procedural").
+    """
     candidates = (path,) if path else _CANONICAL_PATHS
     for p in candidates:
         if p and os.path.exists(p):
@@ -273,36 +327,44 @@ def load_or_generate(
             if ds.data.shape[1] >= seq_len:
                 if ds.data.shape[1] > seq_len:
                     ds = MovingMNIST(
-                        data=np.ascontiguousarray(ds.data[:, :seq_len]), **kw
+                        data=np.ascontiguousarray(ds.data[:, :seq_len]),
+                        source="canonical", **kw,
                     )
                 return ds
-    key = (num_sequences, seq_len, num_digits, seed)
+    key = (num_sequences, seq_len, num_digits, seed, _sprite_bank_tag(sprites))
     if _GEN_CACHE.get("key") != key:
         _GEN_CACHE["key"] = key
-        _GEN_CACHE["data"] = _disk_cached_generate(*key)
-    return MovingMNIST(data=_GEN_CACHE["data"], **kw)
+        _GEN_CACHE["data"] = _disk_cached_generate(*key[:4], sprites=sprites)
+    return MovingMNIST(data=_GEN_CACHE["data"], source="procedural", **kw)
 
 
 def _disk_cached_generate(
-    num_sequences: int, seq_len: int, num_digits: int, seed: int
+    num_sequences: int, seq_len: int, num_digits: int, seed: int,
+    sprites: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Procedural generation behind a per-machine disk cache.
 
     Generating the full 10k-clip dataset costs ~2.5 min of host time; cache
     it under ~/.cache/mmvae_tpu so it's paid once per machine.  Large
     datasets only (small test fixtures regenerate faster than they load).
+    A custom sprite bank folds a content digest into the cache name.
     """
     if num_sequences * seq_len < 20000:
         return generate_moving_mnist(
-            num_sequences, seq_len=seq_len, num_digits=num_digits, seed=seed
+            num_sequences, seq_len=seq_len, num_digits=num_digits, seed=seed,
+            sprites=sprites,
         )
     cache_dir = os.path.expanduser("~/.cache/mmvae_tpu")
-    fname = f"gen_{num_sequences}x{seq_len}_d{num_digits}_s{seed}.npy"
+    fname = (
+        f"gen_{num_sequences}x{seq_len}_d{num_digits}_s{seed}"
+        f"{_sprite_bank_tag(sprites)}.npy"
+    )
     path = os.path.join(cache_dir, fname)
     if os.path.exists(path):
         return np.load(path)
     data = generate_moving_mnist(
-        num_sequences, seq_len=seq_len, num_digits=num_digits, seed=seed
+        num_sequences, seq_len=seq_len, num_digits=num_digits, seed=seed,
+        sprites=sprites,
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)

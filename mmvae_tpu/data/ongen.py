@@ -65,6 +65,10 @@ def generate_clips(
     Pure function of `key`; all shapes static — safe under jit / scan /
     shard_map (fold the shard index into the seed upstream for decorrelated
     shards, as the train step already does for its other streams).
+
+    `sprites` injects a custom (K, S, S) float [0, 1] bank (same hook as the
+    host generator, `loader.load_sprite_bank`); identity sampling is uniform
+    over K.  Default: the 10-glyph font table (a compile-time constant).
     """
     if sprites is None:
         sprites = sprite_table()  # 10 KB compile-time constant
@@ -74,7 +78,7 @@ def generate_clips(
 
     k_digit, k_pos, k_theta, k_speed = jax.random.split(key, 4)
     shape = (batch, num_digits)
-    digits = jax.random.randint(k_digit, shape, 0, 10)
+    digits = jax.random.randint(k_digit, shape, 0, sprites.shape[0])
     pos0 = jax.random.uniform(k_pos, shape + (2,), maxval=lim)
     theta = jax.random.uniform(k_theta, shape, maxval=2.0 * np.pi)
     speed = jax.random.uniform(k_speed, shape, minval=2.0, maxval=4.5)
@@ -113,6 +117,7 @@ def clip_batch_fn(
     *,
     num_digits: int = 2,
     per_frame: bool = False,
+    sprites: Optional[jax.Array] = None,
 ):
     """Closure (key) -> uint8 batch shaped like the training data.
 
@@ -120,15 +125,19 @@ def clip_batch_fn(
     (H, W) for the per-frame configs.  Per-frame batches are 1-frame clips
     squeezed: the reflected position at ANY t is uniform on [0, lim] (a fold
     of uniform + independent shift), so t=0 frames already have the marginal
-    frame distribution the shuffled per-frame loader yields.
+    frame distribution the shuffled per-frame loader yields.  `sprites`
+    injects a custom bank (see `generate_clips`).
     """
+    if sprites is not None:
+        sprites = jnp.asarray(sprites, jnp.float32)
     if per_frame or len(sample_shape) == 2:
         h, w = sample_shape[-2:]
         assert h == w, f"square frames only, got {sample_shape}"
 
         def gen_frames(key):
             clips = generate_clips(
-                key, batch, seq_len=1, image_size=h, num_digits=num_digits
+                key, batch, seq_len=1, image_size=h, num_digits=num_digits,
+                sprites=sprites,
             )
             return clips[:, 0]
 
@@ -139,7 +148,8 @@ def clip_batch_fn(
 
     def gen_clips(key):
         return generate_clips(
-            key, batch, seq_len=t, image_size=h, num_digits=num_digits
+            key, batch, seq_len=t, image_size=h, num_digits=num_digits,
+            sprites=sprites,
         )
 
     return gen_clips

@@ -95,3 +95,89 @@ def test_clip_batch_fn_shapes():
     outf = genf(jax.random.PRNGKey(0))
     assert outf.shape == (6, 64, 64) and outf.dtype == jnp.uint8
     assert np.asarray(outf).max() > 0
+
+
+def _const_bank():
+    """3 constant-valued 8x8 sprites -> composited blocks are identifiable
+    by value AND extent, so placement/identity can be checked exactly."""
+    vals = np.array([0.25, 0.5, 0.75], np.float32)
+    return np.broadcast_to(vals[:, None, None], (3, 8, 8)).copy()
+
+
+def test_custom_bank_cross_parity():
+    """Host and device generators composite from the SAME injected bank
+    (VERDICT r3 next-2): with one digit per clip and constant-valued
+    sprites, every frame must be exactly one bank sprite quantized at an
+    integer offset on a zero canvas — on both paths — and identity sampling
+    must be uniform over the bank."""
+    from mmvae_tpu.data.loader import generate_moving_mnist
+
+    bank = _const_bank()
+    expected_u8 = (bank[:, 0, 0] * 255).astype(np.uint8)  # (63, 127, 191)
+
+    host = generate_moving_mnist(
+        48, seq_len=4, image_size=32, num_digits=1, seed=5, sprites=bank
+    )
+    dev = np.asarray(
+        ongen.generate_clips(
+            jax.random.PRNGKey(5), 48, seq_len=4, image_size=32,
+            num_digits=1, sprites=jnp.asarray(bank),
+        )
+    )
+    for name, clips in (("host", host), ("device", dev)):
+        assert clips.shape == (48, 4, 32, 32), (name, clips.shape)
+        vals = np.unique(clips)
+        assert set(vals.tolist()) <= {0, *expected_u8.tolist()}, (name, vals)
+        ids = []
+        for clip in clips:
+            for frame in clip:
+                nz = np.argwhere(frame > 0)
+                assert len(nz) == 64, (name, len(nz))  # exactly one 8x8 block
+                y0, x0 = nz.min(axis=0)
+                y1, x1 = nz.max(axis=0)
+                assert (y1 - y0, x1 - x0) == (7, 7), (name, y0, x0, y1, x1)
+                block = frame[y0:y1 + 1, x0:x1 + 1]
+                v = np.unique(block)
+                assert len(v) == 1 and v[0] in expected_u8, (name, v)
+            ids.append(int(np.searchsorted(expected_u8, clips[0, 0].max())))
+        # Identity marginal: each of the 3 sprites appears a fair share.
+        counts = np.bincount(
+            [int(np.searchsorted(expected_u8, c.max())) for c in clips[:, 0]],
+            minlength=3,
+        )
+        assert counts.min() >= 4, (name, counts)
+
+
+def test_load_sprite_bank(tmp_path):
+    from mmvae_tpu.data.loader import load_sprite_bank
+
+    f32 = tmp_path / "bank_f32.npy"
+    np.save(f32, _const_bank())
+    b = load_sprite_bank(str(f32))
+    assert b.dtype == np.float32 and b.shape == (3, 8, 8)
+    np.testing.assert_allclose(b, _const_bank())
+
+    u8 = tmp_path / "bank_u8.npy"
+    np.save(u8, (np.ones((2, 16, 16)) * 255).astype(np.uint8))
+    b = load_sprite_bank(str(u8))
+    assert b.max() == 1.0 and b.min() == 1.0
+
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((3, 8, 9), np.float32))
+    with pytest.raises(ValueError, match="square"):
+        load_sprite_bank(str(bad))
+
+
+def test_custom_bank_identity_range():
+    """A K != 10 bank must sample identities over [0, K): the historical
+    hardcoded U{0..9} would index out of bounds (device: clamp artifacts)."""
+    bank = _const_bank()  # K = 3
+    dev = np.asarray(
+        ongen.generate_clips(
+            jax.random.PRNGKey(1), 64, seq_len=1, image_size=32,
+            num_digits=1, sprites=jnp.asarray(bank),
+        )
+    )
+    vals = set(np.unique(dev).tolist())
+    assert vals <= {0, 63, 127, 191}, vals
+    assert len(vals & {63, 127, 191}) == 3, "some bank identity never drawn"
