@@ -1,13 +1,20 @@
 """Child process for tests/test_multiprocess.py — NOT a pytest module.
 
-Runs as one of two JAX processes (2 local CPU devices each, 4 global) and
-exercises BOTH multi-process data paths end-to-end:
+Runs as one of two JAX processes (2 local CPU devices each, 4 global).  Two
+modes (third argv):
 
-  streaming: loader per-process shard -> DeviceFeed -> put_global assembly ->
-             shard_map DP train step -> sharded eval step.
-  resident:  pack_resident per-process rows -> make_array_from_process_local_
-             data -> shard_map DP step with on-device batch gather (fit's
-             default path whenever the dataset fits HBM).
+  paths (default): exercises BOTH multi-process data paths as explicit
+      building blocks —
+      streaming: loader per-process shard -> DeviceFeed -> put_global
+                 assembly -> shard_map DP train step -> sharded eval step.
+      resident:  pack_resident per-process rows -> make_array_from_process_
+                 local_data -> shard_map DP step with on-device batch gather.
+  fit: drives the PRODUCTION `train.loop.fit()` itself under 2 processes
+      (VERDICT r3 next-3), once streaming and once resident, with spies on
+      the two assembly points (`data.feed.put_global`,
+      `jax.make_array_from_process_local_data`) asserting the same
+      row-placement invariants on the arrays fit actually built — including
+      the `% n_local` resident trim and the multihost-init branch.
 
 Asserts the assembled global batch/dataset holds exactly this process's local
 rows at the expected global offsets (the round-1 double-sharding bug put them
@@ -112,13 +119,14 @@ def main(process_id: int, port: int) -> None:
     ev = float(np.asarray(m["loss"]))
     assert np.isfinite(ev), ev
 
-    # --- resident-mode multi-process assembly (fit's DEFAULT data path on
-    # TPU whenever the dataset fits HBM; train.loop lines building the
-    # device-resident packed dataset under process_count > 1).  Mirrors that
-    # code exactly: pack_resident rows per process -> trim to local devices
-    # -> make_array_from_process_local_data -> one DP step with on-device
+    # --- resident-mode multi-process assembly as an isolated building block
+    # (fit's DEFAULT data path on TPU whenever the dataset fits HBM):
+    # pack_resident rows per process -> trim to local devices ->
+    # make_array_from_process_local_data -> one DP step with on-device
     # gather.  Asserts each process's rows occupy its global slots — the
-    # same invariant the streaming half asserts (VERDICT r2 missing-1). ---
+    # same invariant the streaming half asserts (VERDICT r2 missing-1).
+    # The production fit() assembly itself runs under 2 processes in
+    # main_fit below (VERDICT r3 next-3). ---
     from mmvae_tpu.data import transforms
 
     rows = transforms.pack_resident(ds.split_data)
@@ -165,5 +173,163 @@ def main(process_id: int, port: int) -> None:
     )
 
 
+def main_fit(process_id: int, port: int) -> None:
+    """Drive the PRODUCTION train.loop.fit() under 2 real processes — both
+    the streaming and the resident data paths — asserting the row-placement
+    invariants on the arrays fit itself assembled (VERDICT r3 next-3: the
+    hand-mirrored assembly above cannot catch drift in fit's own code, e.g.
+    the `% n_local` trim or the multihost-init branch)."""
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=process_id,
+    )
+    assert jax.process_count() == 2
+    assert jax.device_count() == 4 and jax.local_device_count() == 2
+
+    import numpy as np
+
+    from mmvae_tpu.configs import get_config
+    from mmvae_tpu.data import feed as feed_mod
+    from mmvae_tpu.data.loader import load_or_generate
+    from mmvae_tpu.data import transforms
+    from mmvae_tpu.train.loop import fit
+
+    p = jax.process_index()
+
+    def tiny_cfg():
+        cfg = get_config(
+            "seq_vae",
+            (
+                "data.batch_size=8", "data.seq_len=4",
+                "model.kwargs.latent_dim=16", "model.kwargs.enc_channels=4,8",
+                "model.kwargs.lstm_features=8", "model.kwargs.unroll=1",
+                "model.kwargs.gate_bf16=false", "model.kwargs.remat=false",
+                "model.dtype=float32", "train.use_pallas=false",
+            ),
+        )
+        cfg.train.steps = 4
+        cfg.train.log_every = 1
+        cfg.train.eval_every = 2
+        cfg.train.eval_batches = 1
+        cfg.train.checkpoint_dir = None
+        cfg.train.data_parallel = True
+        # Exercises fit's jax.distributed.initialize branch: the runtime is
+        # already initialized, so the call must be tolerated, not fatal.
+        cfg.train.multihost = True
+        return cfg
+
+    # --- streaming fit(): spy on the feed's put_global assembly ---
+    cfg = tiny_cfg()
+    cfg.data.num_sequences = 16
+    cfg.data.train_fraction = 0.75  # 12 train / 4 val (eval path exercised)
+    cfg.data.device_resident = False
+    captured_batches = []
+    orig_put_global = feed_mod.put_global
+
+    def spy_put_global(batch, sharding):
+        out = orig_put_global(batch, sharding)
+        captured_batches.append((np.array(batch), out))
+        return out
+
+    feed_mod.put_global = spy_put_global
+    try:
+        _, history = fit(cfg)
+    finally:
+        feed_mod.put_global = orig_put_global
+    losses = [h["loss"] for h in history]
+    assert losses and all(np.isfinite(l) for l in losses), losses
+    assert captured_batches, "fit() streaming path never hit put_global"
+    local_bs = cfg.data.batch_size // jax.process_count()
+    # Reproduce the deterministic local stream fit consumed and assert the
+    # FIRST assembled global batch holds this process's rows at its offsets.
+    ds = load_or_generate(
+        cfg.data.path,
+        num_sequences=cfg.data.num_sequences,
+        seq_len=cfg.data.seq_len,
+        num_digits=cfg.data.num_digits,
+        seed=cfg.data.seed,
+        train_fraction=cfg.data.train_fraction,
+        process_index=p,
+        process_count=jax.process_count(),
+    )
+    expected_local = next(iter(ds.batches(local_bs, seed=cfg.data.seed)))
+    local0, global0 = captured_batches[0]
+    np.testing.assert_array_equal(local0, expected_local)
+    assert global0.shape[0] == cfg.data.batch_size, global0.shape
+    for shard in global0.addressable_shards:
+        start = shard.index[0].start or 0
+        local_row = start - p * local_bs
+        rows = shard.data.shape[0]
+        assert 0 <= local_row and local_row + rows <= local_bs, (
+            f"process {p}: fit streaming shard at global row {start} outside "
+            f"[{p * local_bs}, {(p + 1) * local_bs})"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), expected_local[local_row: local_row + rows]
+        )
+
+    # --- resident fit(): spy on make_array_from_process_local_data,
+    # including the `% n_local` trim (7 per-process rows -> 6) ---
+    cfg = tiny_cfg()
+    cfg.data.num_sequences = 16
+    cfg.data.train_fraction = 0.875  # 14 train rows -> 7/process -> trim to 6
+    cfg.data.device_resident = True
+    cfg.train.eval_every = 0  # 2 val rows < 1 per-device batch: skip eval
+    captured_resident = []
+    orig_mapl = jax.make_array_from_process_local_data
+
+    def spy_mapl(sharding, local, *a, **k):
+        out = orig_mapl(sharding, local, *a, **k)
+        captured_resident.append((np.array(local), out))
+        return out
+
+    jax.make_array_from_process_local_data = spy_mapl
+    try:
+        _, history = fit(cfg)
+    finally:
+        jax.make_array_from_process_local_data = orig_mapl
+    losses = [h["loss"] for h in history]
+    assert losses and all(np.isfinite(l) for l in losses), losses
+    assert captured_resident, "fit() resident path never assembled the pool"
+    local_rows, global_rows = captured_resident[0]
+    # fit's own trim: 14-row train split shards to 7 rows/process, which
+    # does not divide 2 local devices -> production code drops the tail row.
+    ds = load_or_generate(
+        cfg.data.path,
+        num_sequences=cfg.data.num_sequences,
+        seq_len=cfg.data.seq_len,
+        num_digits=cfg.data.num_digits,
+        seed=cfg.data.seed,
+        train_fraction=cfg.data.train_fraction,
+        process_index=p,
+        process_count=jax.process_count(),
+    )
+    expected_rows = transforms.pack_resident(ds.split_data)
+    assert expected_rows.shape[0] == 7, expected_rows.shape
+    assert local_rows.shape[0] == 6, (
+        f"fit did not trim 7 per-process rows to 6: {local_rows.shape}"
+    )
+    np.testing.assert_array_equal(local_rows, expected_rows[:6])
+    n_proc_rows = local_rows.shape[0]
+    for shard in global_rows.addressable_shards:
+        start = shard.index[0].start or 0
+        local_row = start - p * n_proc_rows
+        nr = shard.data.shape[0]
+        assert 0 <= local_row and local_row + nr <= n_proc_rows, (
+            f"process {p}: fit resident shard at global row {start} outside "
+            f"[{p * n_proc_rows}, {(p + 1) * n_proc_rows})"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), local_rows[local_row: local_row + nr]
+        )
+
+    print(f"process {p}: ok fit streaming+resident", flush=True)
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]))
+    mode = sys.argv[3] if len(sys.argv) > 3 else "paths"
+    if mode == "fit":
+        main_fit(int(sys.argv[1]), int(sys.argv[2]))
+    else:
+        main(int(sys.argv[1]), int(sys.argv[2]))

@@ -39,6 +39,11 @@ def test_bench_runs_ongen_path():
     import numpy as np
 
     assert np.isfinite(result["final_loss"])
+    # Spread schema (VERDICT r3 next-4): all three raw windows plus the
+    # min/median/max frames/s band must be in every bench JSON.
+    assert len(result["windows_sec"]) == 3
+    assert result["value_min"] <= result["value"] <= result["value_max"]
+    assert result["spread_pct"] >= 0
 
 
 @pytest.mark.skipif(
@@ -66,6 +71,8 @@ def test_headline_throughput_no_regression():
         result = run_benchmark(get_config("seq_vae"), steps=60, warmup=20)
         measured = max(measured, result["value"])
     assert measured >= 0.9 * latest, (
-        f"headline throughput regressed: {measured:.0f} frames/s/chip vs "
-        f"committed {latest:.0f} (floor {0.9 * latest:.0f}) in two windows"
+        f"headline throughput regressed: median {measured:.0f} "
+        f"[{result['value_min']:.0f}, {result['value_max']:.0f}] "
+        f"frames/s/chip (spread {result['spread_pct']:.1f}%) vs committed "
+        f"{latest:.0f} (floor {0.9 * latest:.0f}) in two windows"
     )

