@@ -1,12 +1,19 @@
 """Golden-trace regression: fixed-seed short loss traces per config.
 
 SURVEY.md 4.2 "Golden / regression".  Each contract config trains 12 steps on
-deterministic tiny data (CPU backend, f32, XLA sampler) and the loss trace is
-compared against the committed golden JSON to rtol=2e-3 (refactor guard, not
-bit-exactness — XLA CPU codegen may drift slightly across versions).
+deterministic tiny data (f32, XLA sampler) and the loss trace is compared
+against the committed golden JSON (refactor guard, not bit-exactness — XLA
+codegen may drift slightly across versions).
 
-Regenerate after an intentional numerics change:
+`golden_traces.json` carries one section PER BACKEND (VERDICT r3 next-8):
+the on-chip suite (MMVAE_TEST_TPU=1) compares against TPU-recorded traces at
+the SAME tight rtol as the CPU check; the loose cross-backend
+accumulation-order budget applies only when a config has no TPU golden yet
+(e.g. a config added off-chip).
+
+Regenerate after an intentional numerics change (run on BOTH backends):
     MMVAE_REGEN_GOLDEN=1 python -m pytest tests/test_golden.py -q
+    MMVAE_TEST_TPU=1 MMVAE_REGEN_GOLDEN=1 python -m pytest tests/test_golden.py -q
 """
 
 import json
@@ -20,6 +27,22 @@ GOLDEN_PATH = pathlib.Path(__file__).parent / "golden_traces.json"
 
 CONFIGS = ["mlp_vae", "conv_vae", "seq_vae", "pred_vae", "hier_vae"]
 
+RTOL_SAME_BACKEND = 2e-3
+
+
+def _backend() -> str:
+    return "tpu" if os.environ.get("MMVAE_TEST_TPU") else "cpu"
+
+
+def _load_goldens() -> dict:
+    if not GOLDEN_PATH.exists():
+        return {}
+    data = json.loads(GOLDEN_PATH.read_text())
+    if data and "cpu" not in data and "tpu" not in data:
+        # Legacy flat layout (pre-r4): all traces were CPU-recorded.
+        data = {"cpu": data}
+    return data
+
 
 def _trace(name):
     from tests.test_train_smoke import _tiny_config
@@ -29,39 +52,45 @@ def _trace(name):
     cfg.train.steps = 12
     cfg.train.log_every = 3
     cfg.train.eval_every = 0
-    cfg.train.use_pallas = False  # deterministic XLA sampler on CPU
+    cfg.train.use_pallas = False  # deterministic XLA sampler on both backends
     _, history = fit(cfg)
     return [round(h["loss"], 4) for h in history]
 
 
 @pytest.mark.parametrize("name", CONFIGS)
 def test_golden_trace(name):
-    # Goldens are recorded on the CPU harness.  On the real chip
-    # (MMVAE_TEST_TPU=1) force full-precision f32 matmuls — the MXU's default
-    # reduced-precision f32 path drifts past the guard's tolerance — and
-    # allow for cross-backend accumulation-order differences.
-    on_tpu = bool(os.environ.get("MMVAE_TEST_TPU"))
+    # On the real chip force full-precision f32 matmuls — the MXU's default
+    # reduced-precision f32 path drifts run-to-run past any usable tolerance.
+    backend = _backend()
     import jax
 
-    with jax.default_matmul_precision("highest" if on_tpu else "default"):
+    with jax.default_matmul_precision(
+        "highest" if backend == "tpu" else "default"
+    ):
         trace = _trace(name)
     if os.environ.get("MMVAE_REGEN_GOLDEN"):
-        data = json.loads(GOLDEN_PATH.read_text()) if GOLDEN_PATH.exists() else {}
-        data[name] = trace
+        data = _load_goldens()
+        data.setdefault(backend, {})[name] = trace
         GOLDEN_PATH.write_text(json.dumps(data, indent=1, sort_keys=True))
-        pytest.skip(f"regenerated golden for {name}")
-    if not GOLDEN_PATH.exists():
+        pytest.skip(f"regenerated {backend} golden for {name}")
+    golden = _load_goldens()
+    if not golden:
         pytest.skip("no golden file; run with MMVAE_REGEN_GOLDEN=1")
-    golden = json.loads(GOLDEN_PATH.read_text())
-    assert name in golden, f"no golden trace for {name}; regenerate"
-    if on_tpu:
-        # Cross-backend accumulation-order epsilon AMPLIFIES along the
-        # optimization trajectory (identical threefry draws; only f32 sum
-        # order differs, and 12 Adam steps compound it: the r8 full-suite
-        # run measured mlp_vae diverging 0.24% -> 0.04% -> 0.49% -> 1.6%
-        # across the four logged points).  Budget tolerance per point
-        # accordingly; the CPU-vs-golden check below stays tight.
-        for i, (t, g) in enumerate(zip(trace, golden[name])):
-            np.testing.assert_allclose(t, g, rtol=8e-3 * (1 + i))
-    else:
-        np.testing.assert_allclose(trace, golden[name], rtol=2e-3)
+    if name in golden.get(backend, {}):
+        # Same-backend comparison: the tight guard (identical backend,
+        # identical accumulation order up to compiler drift).
+        np.testing.assert_allclose(
+            trace, golden[backend][name], rtol=RTOL_SAME_BACKEND
+        )
+        return
+    assert name in golden.get("cpu", {}), (
+        f"no golden trace for {name} on any backend; regenerate"
+    )
+    assert backend == "tpu", f"missing cpu golden for {name}"
+    # Cross-backend fallback (config has no TPU golden yet): accumulation-
+    # order epsilon AMPLIFIES along the optimization trajectory (identical
+    # threefry draws; only f32 sum order differs, and 12 Adam steps compound
+    # it: the r8 full-suite run measured mlp_vae diverging 0.24% -> 0.04% ->
+    # 0.49% -> 1.6% across the four logged points).  Budget per point.
+    for i, (t, g) in enumerate(zip(trace, golden["cpu"][name])):
+        np.testing.assert_allclose(t, g, rtol=8e-3 * (1 + i))
