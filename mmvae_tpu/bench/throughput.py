@@ -17,7 +17,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 NORTH_STAR_FRAMES_PER_SEC = 50_000.0

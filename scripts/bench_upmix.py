@@ -49,7 +49,6 @@ Usage: python scripts/bench_upmix.py [--iters 5]
 """
 
 import argparse
-import functools
 import time
 
 import numpy as np
