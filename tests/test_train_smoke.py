@@ -335,6 +335,38 @@ def test_ongen_sprite_bank_feeds_training(tmp_path):
     assert set(vals.tolist()) <= {0, 127, 255}, vals
 
 
+def test_eval_batches_staged_on_device_once(monkeypatch):
+    """run_eval stages the (deterministic, run-constant) val batches on
+    device ONCE and reuses them: re-uploading identical bytes every eval
+    dominated eval wall time on the tunneled dev chip (r11 200k run: ~34 s
+    per eval interval, ~90% host->device transfer of unchanged data)."""
+    from mmvae_tpu.data.loader import MovingMNIST
+    from mmvae_tpu.train.loop import fit
+
+    calls = {"n": 0}
+    orig = MovingMNIST.batches
+
+    def counting_batches(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(MovingMNIST, "batches", counting_batches)
+
+    cfg = _tiny_config("seq_vae")
+    cfg.data.device_resident = True  # the train path never calls batches()
+    cfg.train.steps = 20
+    cfg.train.log_every = 5
+    cfg.train.eval_every = 5  # four eval passes
+    _, history = fit(cfg)
+    evals = [h for h in history if "val_loss" in h]
+    assert len(evals) >= 3, [sorted(h) for h in history]
+    assert all(np.isfinite(h["val_loss"]) for h in evals)
+    # One materialization of the val stream despite >= 3 eval passes.
+    assert calls["n"] == 1, f"val stream rebuilt {calls['n']}x"
+    # The eval passes see evolving params (not a cached metric).
+    assert len({round(h["val_loss"], 4) for h in evals}) > 1
+
+
 def test_device_resident_training_decreases_loss():
     """On-device batch gather path (HBM-resident dataset)."""
     from mmvae_tpu.train.loop import fit
