@@ -27,6 +27,13 @@ def main() -> int:
                 "value": result["value"],
                 "unit": result["unit"],
                 "vs_baseline": result["vs_baseline"],
+                # Spread across the three fenced windows, so round-over-round
+                # comparisons of this artifact can tell a real move from the
+                # machine's ±2% run-to-run band (VERDICT r4 weak-3).
+                "value_min": result["value_min"],
+                "value_max": result["value_max"],
+                "spread_pct": result["spread_pct"],
+                "windows_sec": result["windows_sec"],
             }
         )
     )

@@ -81,7 +81,9 @@ def load_sprite_bank(path: str) -> np.ndarray:
             f"sprite bank must be (K, S, S) with square sprites; got "
             f"{bank.shape} from {path!r}"
         )
-    if bank.dtype == np.uint8:
+    if np.issubdtype(bank.dtype, np.integer):
+        # ANY integer dtype is treated as 0..255 pixel values — an int32/int64
+        # bank holding u8-range values must not be clipped to a binary mask.
         bank = bank.astype(np.float32) / 255.0
     return np.clip(bank.astype(np.float32), 0.0, 1.0)
 
@@ -148,6 +150,12 @@ def generate_moving_mnist(
     else:
         sprites = np.asarray(sprites, np.float32)
         sprite_size = sprites.shape[-1]
+    if sprite_size > image_size:
+        # A too-large bank would give a negative position limit and silently
+        # degenerate clips; fail at the point of use instead.
+        raise ValueError(
+            f"sprite size {sprite_size} exceeds image_size {image_size}"
+        )
     lim = image_size - sprite_size
 
     out = np.zeros((num_sequences, seq_len, image_size, image_size), np.float32)

@@ -114,15 +114,25 @@ def _ckpt_top_keys(directory: str, step: int):
     `_METADATA` json — readable from ANY process (CheckpointManager's
     `item_metadata` returns an empty tree in a process that never saved, i.e.
     exactly the eval/resume case that needs the inspection).  Returns None
-    when the layout is unrecognized; raises OSError/ValueError when the file
-    is missing or unparseable — a genuinely unreadable checkpoint should
-    surface that, not fall back to template guessing."""
+    when the layout is unrecognized OR the metadata file is absent (a
+    checkpoint written by an orbax version with a different item-dir name or
+    metadata filename must fall through to the plain-template restore, not
+    fail up front — ADVICE r4); raises on an unparseable file — a genuinely
+    corrupt checkpoint should surface that, not fall back to guessing.
+
+    This walks orbax's PRIVATE on-disk layout (`<step>/default/_METADATA`,
+    `tree_metadata -> key_metadata -> key`); the installed orbax's layout is
+    pinned by tests/test_checkpoint.py::test_orbax_metadata_layout_pin so an
+    upgrade that moves it fails the suite loudly."""
     import json
 
     path = os.path.join(os.path.abspath(directory), str(step), "default",
                         "_METADATA")
-    with open(path) as f:
-        meta = json.load(f)
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        return None
     tree_meta = meta.get("tree_metadata")
     if not isinstance(tree_meta, dict):
         return None
@@ -186,7 +196,10 @@ def restore_latest(directory: str, template: TrainState) -> Tuple[TrainState, in
         # load only under its new name "fast_hq".  Any OTHER failure (corrupt
         # file, permissions, truncated manifest) re-raises untouched so its
         # real error surfaces instead of a misleading migration pointer.
-        if "tree structures do not match" not in str(e):
+        # jax/orbax phrasing varies across versions ("tree structures do not
+        # match", "Tree structures did not match", ...) — match loosely and
+        # case-insensitively on the stable part (ADVICE r4).
+        if "tree structure" not in str(e).lower():
             raise
         raise RuntimeError(
             f"checkpoint restore failed: {e}\n\n"

@@ -435,3 +435,57 @@ def test_corrupt_checkpoint_surfaces_true_error(tmp_path):
         f"error:\n{msg[:500]}"
     )
     assert "manifest" in msg.lower() or "DATA_LOSS" in msg, msg[:500]
+
+
+def test_orbax_metadata_layout_pin(tmp_path):
+    """Pin the installed orbax's PRIVATE on-disk layout that _ckpt_top_keys
+    walks (<step>/default/_METADATA, tree_metadata -> key_metadata -> key):
+    an orbax upgrade that moves any of it must fail THIS test loudly instead
+    of silently degrading the EMA-compat decision to template guessing
+    (VERDICT r4 weak-4 / next-7)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmvae_tpu.configs.base import OptimConfig
+    from mmvae_tpu.models import MLPVAE
+    from mmvae_tpu.train import checkpoint as ckpt
+    from mmvae_tpu.train.state import create_train_state
+
+    model = MLPVAE(latent_dim=4, hidden_dim=8)
+    state = create_train_state(
+        model, OptimConfig(ema_decay=0.99), jax.random.PRNGKey(0), (2, 64, 64)
+    )
+    d = str(tmp_path / "ck")
+    ckpt.save(d, state.replace(step=jnp.asarray(2, jnp.int32)), 2,
+              data_step=2, wait=True)
+
+    # 1. The metadata file exists exactly where _ckpt_top_keys looks.
+    meta_path = os.path.join(d, "2", "default", "_METADATA")
+    assert os.path.isfile(meta_path), (
+        f"orbax layout moved: no _METADATA at {meta_path} — update "
+        "mmvae_tpu/train/checkpoint.py::_ckpt_top_keys for this orbax version"
+    )
+    # 2. Walking it yields the exact saved top-level key set (not None, not a
+    #    subset): the EMA-compat decision depends on seeing 'ema_params'.
+    keys = ckpt._ckpt_top_keys(d, 2)
+    assert keys == {"step", "params", "opt_state", "data_step", "ema_params"}, (
+        f"orbax tree_metadata schema changed: _ckpt_top_keys returned {keys}"
+    )
+
+
+def test_missing_metadata_returns_none_not_raise(tmp_path):
+    """_ckpt_top_keys on a checkpoint with no metadata file at the probed
+    path (the shape of "an orbax version with a different item-dir/metadata
+    name wrote this") must return None — the signal for the plain-template
+    restore path — not raise FileNotFoundError up front (ADVICE r4).  The
+    installed orbax itself requires its own _METADATA to restore, so this
+    exercises the probe on an empty layout rather than a mutilated save."""
+    import os
+
+    from mmvae_tpu.train import checkpoint as ckpt
+
+    d = str(tmp_path / "ck")
+    os.makedirs(os.path.join(d, "3", "something_else"))
+    assert ckpt._ckpt_top_keys(d, 3) is None

@@ -213,3 +213,37 @@ class TestCanonicalFilePath:
         cfg.train.log_every = 4
         _, history = fit(cfg)
         assert history and np.isfinite(history[-1]["loss"])
+
+
+class TestSpriteBankValidation:
+    """ADVICE r4: non-uint8 integer banks are 0..255 pixel values, not a
+    binary mask; oversize sprites fail loudly at the point of use."""
+
+    def test_integer_bank_any_dtype_scaled(self, tmp_path):
+        from mmvae_tpu.data.loader import load_sprite_bank
+
+        vals = np.random.default_rng(0).integers(0, 256, (3, 8, 8))
+        for dtype in (np.uint8, np.int32, np.int64, np.int16):
+            p = tmp_path / f"bank_{np.dtype(dtype).name}.npy"
+            np.save(p, vals.astype(dtype))
+            bank = load_sprite_bank(str(p))
+            np.testing.assert_allclose(
+                bank, vals.astype(np.float32) / 255.0, rtol=0, atol=0
+            )
+
+    def test_float_bank_clipped(self, tmp_path):
+        from mmvae_tpu.data.loader import load_sprite_bank
+
+        p = tmp_path / "bank.npy"
+        np.save(p, np.array([[[-0.5, 0.25], [0.75, 1.5]]], np.float32))
+        np.testing.assert_allclose(
+            load_sprite_bank(str(p)),
+            [[[0.0, 0.25], [0.75, 1.0]]],
+        )
+
+    def test_oversize_sprite_rejected(self):
+        with pytest.raises(ValueError, match="exceeds image_size"):
+            generate_moving_mnist(
+                2, seq_len=2, image_size=64,
+                sprites=np.ones((2, 80, 80), np.float32),
+            )

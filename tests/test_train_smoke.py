@@ -290,9 +290,16 @@ def test_ongen_guards_canonical_val_mismatch(tmp_path, capsys):
     cfg.data.on_device_generate = True
     cfg.train.steps = 2
     cfg.train.log_every = 1
-    cfg.train.eval_every = 0
+    cfg.train.eval_every = 2  # an eval WILL run -> the mismatch is real
     with pytest.raises(ValueError, match="sprite_bank"):
         fit(cfg)
+
+    # Throughput-only run (eval fully disabled): nothing to mismatch — warn
+    # and proceed instead of blocking (ADVICE r4).
+    cfg.train.eval_every = 0
+    _, history = fit(cfg)
+    assert all(np.isfinite(h["loss"]) for h in history)
+    assert "eval is disabled" in capsys.readouterr().err
 
     # With a custom bank the run proceeds (the user asserts their bank
     # matches the digit source) but the choice is surfaced on stderr.
