@@ -44,6 +44,11 @@ class ConvLSTMSeqVAE(nn.Module):
     fused: Optional[bool] = None  # fused Pallas time-scan (None = auto on TPU)
     dec_upsample: str = "fast"  # frame-decoder layout: fast | fast_mid | fast_midw | fast_hq | transpose
     enc_x_kernel: int = 3  # encoder LSTM input-projection kernel (1 = matmul)
+    token_ch: int = 16  # decoder z-token channels: the per-step information
+    # bandwidth from z into the decoder recurrence.  Widening is nearly free
+    # at train time — the token is time-constant, so the ConvLSTM's
+    # constant-input fast path projects it through conv_x exactly once per
+    # clip regardless of width (round-5 architecture probe knob).
 
     def setup(self):
         gate_dtype = jnp.bfloat16 if self.gate_bf16 else jnp.float32
@@ -61,7 +66,7 @@ class ConvLSTMSeqVAE(nn.Module):
             2 * self.grid * self.grid * self.lstm_features, dtype=jnp.float32
         )
         self.z_to_token = nn.Dense(
-            self.grid * self.grid * 16, dtype=jnp.float32
+            self.grid * self.grid * self.token_ch, dtype=jnp.float32
         )
         self.dec_lstm = ConvLSTM(
             self.lstm_features, name="dec_lstm",
@@ -99,9 +104,11 @@ class ConvLSTMSeqVAE(nn.Module):
         g, f = self.grid, self.lstm_features
         ch = self.z_to_state(z).reshape(b, g, g, 2 * f).astype(self.dtype)
         c0, h0 = ch[..., :f], ch[..., f:]
-        # Time-constant token: shape (B, 1, g, g, 16) — the ConvLSTM's
+        # Time-constant token: shape (B, 1, g, g, token_ch) — the ConvLSTM's
         # constant-input fast path projects it through conv_x exactly once.
-        token = self.z_to_token(z).reshape(b, 1, g, g, 16).astype(self.dtype)
+        token = self.z_to_token(z).reshape(
+            b, 1, g, g, self.token_ch
+        ).astype(self.dtype)
         return (c0, h0), token
 
     def decode(self, z: jax.Array, t: int) -> jax.Array:

@@ -260,6 +260,30 @@ class TestDecoderModes:
         assert out.shape == (2, 64, 64, 1)
         assert out.dtype == jnp.float32
 
+    def test_seq_vae_token_ch_kwarg(self):
+        """token_ch widens the decoder z-token (r5 architecture-probe knob);
+        default 16 keeps the historical param tree."""
+        import jax
+        import jax.numpy as jnp
+
+        from mmvae_tpu.models.seq_vae import ConvLSTMSeqVAE
+
+        m = ConvLSTMSeqVAE(
+            latent_dim=8, enc_channels=(4, 8), lstm_features=8,
+            token_ch=64, fused=False,
+        )
+        x = jnp.zeros((2, 3, 64, 64))
+        p = m.init(jax.random.PRNGKey(0), x, lambda mu, lv, salt=0: mu)
+        tok_kernel = p["params"]["z_to_token"]["kernel"]
+        assert tok_kernel.shape == (8, 16 * 16 * 64)
+        out = m.apply(p, x, lambda mu, lv, salt=0: mu)
+        assert out.logits.shape == (2, 3, 64, 64)
+        default = ConvLSTMSeqVAE(
+            latent_dim=8, enc_channels=(4, 8), lstm_features=8, fused=False
+        )
+        pd = default.init(jax.random.PRNGKey(0), x, lambda mu, lv, salt=0: mu)
+        assert pd["params"]["z_to_token"]["kernel"].shape == (8, 16 * 16 * 16)
+
     def test_seq_vae_dec_upsample_kwarg(self):
         import jax
         import jax.numpy as jnp
